@@ -1,0 +1,299 @@
+"""Sorted sweep broad phase, TPU-native.
+
+Replaces the reference's "Sweep and Tiniest Queue" CUDA kernel
+(``src/scalable_ccd/cuda/broad_phase/sweep.cu:101-182`` with its per-warp
+ring queue ``queue.cuh:14-27``) and the CPU TBB sort-and-sweep
+(``src/scalable_ccd/broad_phase/sort_and_sweep.cpp``).  The CUDA design is
+atomics-and-queues; this design is sort-scan-segment:
+
+1.  Sort boxes by their *major-axis* lower bound (default x, matching the
+    GPU path which hard-codes x — ``cuda/broad_phase/aabb.cu:86``).
+2.  For each box i, its candidate partners are exactly the boxes
+    j in (i, i + k_i] where ``k_i = searchsorted(min_major, max_major[i],
+    'right') - i - 1`` — the *run length* along the sorted axis.  This single
+    vectorized binary search replaces the queue kernel's dynamic
+    pop/advance/re-push loop (``sweep.cu:139-181``): the sortedness makes the
+    candidate set an index interval, so no queue is needed.
+3.  The global pair index space (prefix sums of k_i) is enumerated in fixed
+    size chunks; each chunk maps pair-slot p -> (i, j) with one more
+    searchsorted, gathers the two mini-boxes, applies the filters, and
+    compacts survivors to the front.  Data-dependent totals live on the host
+    (int64 numpy), mirroring the reference's chunk cursor
+    ``thread_start_box_id`` (``broad_phase.cuh:85``).
+
+Filters (reference ``cuda/broad_phase/collision.cuh``):
+- minor-axis overlap (``MiniBox::intersects``, aabb.cuh:100-104)
+- simplex-pair validity: in two-list mode the ids must have opposite signs
+  (``is_valid_pair``, collision.cuh:27-35)
+- no shared vertex: nine integer compares (``share_a_vertex``,
+  collision.cuh:17-21).
+
+Emit convention (``sweep.cu:152-164``): one-list pairs are
+(min, max) of element ids; two-list pairs are (flip(min), max) =
+(list-A element id, list-B element id), where ``flip(id) = -id - 1``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scalable_ccd_tpu.geometry.aabb import AABBs
+from scalable_ccd_tpu.utils.logging import logger
+
+__all__ = [
+    "SortedBoxes",
+    "sort_boxes",
+    "merge_two_lists",
+    "count_major_runs",
+    "enumerate_pairs_chunk",
+    "sweep_chunks",
+]
+
+
+class SortedBoxes(NamedTuple):
+    """Boxes sorted by major-axis lower bound, split SoA-style.
+
+    The reference's ``DeviceAABBs`` (``cuda/broad_phase/aabb.cuh:122-150``)
+    holds ``sorted_major_intervals`` + ``mini_boxes``; this is the same
+    decomposition as plain arrays.
+    """
+
+    major_min: jax.Array  # (n,)
+    major_max: jax.Array  # (n,)
+    minor_min: jax.Array  # (n, 2)
+    minor_max: jax.Array  # (n, 2)
+    vertex_ids: jax.Array  # (n, 3) int32
+    element_id: jax.Array  # (n,) int32
+
+    @property
+    def n(self) -> int:
+        return self.major_min.shape[0]
+
+
+_MINOR_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "pad_to"))
+def sort_boxes(boxes: AABBs, axis: int = 0, pad_to: Optional[int] = None) -> SortedBoxes:
+    """Sort boxes along ``axis`` and split into major/minor arrays.
+
+    Replaces the reference's ``split_boxes`` kernel + ``thrust::sort_by_key``
+    (``cuda/broad_phase/aabb.cu:86-110``).  ``pad_to`` pads with sentinel
+    boxes at +inf major position (run length 0, unreachable as partners) so
+    jitted chunk shapes stay static across frames.
+    """
+    m0, m1 = _MINOR_AXES[axis]
+    major_min = boxes.min[:, axis]
+    major_max = boxes.max[:, axis]
+    minor_min = boxes.min[:, (m0, m1)]
+    minor_max = boxes.max[:, (m0, m1)]
+    vertex_ids = boxes.vertex_ids
+    element_id = boxes.element_id
+
+    if pad_to is not None and pad_to > major_min.shape[0]:
+        n = major_min.shape[0]
+        pad = pad_to - n
+        big = jnp.finfo(major_min.dtype).max / 8
+        major_min = jnp.concatenate([major_min, jnp.full((pad,), big, major_min.dtype)])
+        major_max = jnp.concatenate([major_max, jnp.full((pad,), big, major_max.dtype)])
+        minor_min = jnp.concatenate([minor_min, jnp.full((pad, 2), big, minor_min.dtype)])
+        minor_max = jnp.concatenate([minor_max, jnp.full((pad, 2), -big, minor_max.dtype)])
+        vertex_ids = jnp.concatenate(
+            [vertex_ids, jnp.full((pad, 3), jnp.int32(-(2**31) + 1), jnp.int32)]
+        )
+        element_id = jnp.concatenate([element_id, jnp.full((pad,), jnp.int32(0), jnp.int32)])
+
+    order = jnp.argsort(major_min)
+    return SortedBoxes(
+        major_min=major_min[order],
+        major_max=major_max[order],
+        minor_min=minor_min[order],
+        minor_max=minor_max[order],
+        vertex_ids=vertex_ids[order],
+        element_id=element_id[order],
+    )
+
+
+def flip_id(ids: jax.Array) -> jax.Array:
+    """Reversible negative tagging, ``flip_id(id) = -id - 1``
+    (reference ``collision.cuh:11``)."""
+    return -ids - 1
+
+
+def merge_two_lists(boxes_a: AABBs, boxes_b: AABBs) -> AABBs:
+    """Tag list A with negative element ids and concatenate with list B.
+
+    The reference copies list A, flips its ids with a kernel, and merges the
+    two already-sorted sequences with ``thrust::merge_by_key``
+    (``cuda/broad_phase/broad_phase.cu:70-96``); concat-then-sort is the
+    XLA-friendly equivalent (the sort in :func:`sort_boxes` does the merge).
+    """
+    return AABBs(
+        min=jnp.concatenate([boxes_a.min, boxes_b.min]),
+        max=jnp.concatenate([boxes_a.max, boxes_b.max]),
+        vertex_ids=jnp.concatenate([boxes_a.vertex_ids, boxes_b.vertex_ids]),
+        element_id=jnp.concatenate([flip_id(boxes_a.element_id), boxes_b.element_id]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def count_major_runs(sorted_boxes: SortedBoxes, start: jax.Array, chunk_size: int) -> jax.Array:
+    """Run length k_i for boxes [start, start + chunk_size).
+
+    k_i = #(j > i with major_min[j] <= major_max[i]); the sweep kernel's
+    "advance j while a.max >= b.min" loop (``sweep.cu:126-176``) collapsed
+    into one vectorized binary search over the sorted lower bounds.
+    """
+    idx = start + jnp.arange(chunk_size, dtype=jnp.int32)
+    idx_c = jnp.minimum(idx, sorted_boxes.n - 1)
+    a_max = sorted_boxes.major_max[idx_c]
+    reach = jnp.searchsorted(sorted_boxes.major_min, a_max, side="right", method="sort")
+    k = reach.astype(jnp.int32) - idx_c.astype(jnp.int32) - 1
+    return jnp.where(idx < sorted_boxes.n, jnp.maximum(k, 0), 0)
+
+
+def _pair_filters(sorted_boxes: SortedBoxes, i, j, is_two_lists: bool):
+    """Minor-axis overlap + validity + covertex filters for pair (i, j)."""
+    a_min = sorted_boxes.minor_min[i]
+    a_max = sorted_boxes.minor_max[i]
+    b_min = sorted_boxes.minor_min[j]
+    b_max = sorted_boxes.minor_max[j]
+    minor_ok = jnp.all((a_min <= b_max) & (b_min <= a_max), axis=-1)
+
+    a_vid = sorted_boxes.vertex_ids[i]  # (P, 3)
+    b_vid = sorted_boxes.vertex_ids[j]
+    share = jnp.any(a_vid[:, :, None] == b_vid[:, None, :], axis=(1, 2))
+
+    a_eid = sorted_boxes.element_id[i]
+    b_eid = sorted_boxes.element_id[j]
+    if is_two_lists:
+        valid = (a_eid >= 0) != (b_eid >= 0)
+    else:
+        valid = jnp.ones_like(minor_ok)
+    return minor_ok & valid & ~share, a_eid, b_eid
+
+
+@functools.partial(jax.jit, static_argnames=("pair_chunk_size", "is_two_lists"))
+def enumerate_pairs_chunk(
+    sorted_boxes: SortedBoxes,
+    box_start: jax.Array,
+    offsets: jax.Array,
+    pair_start: jax.Array,
+    n_pairs: jax.Array,
+    pair_chunk_size: int,
+    is_two_lists: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Materialize & filter one chunk of the major-axis pair index space.
+
+    ``offsets`` is the inclusive prefix sum of the k_i of the current *box
+    chunk* (int32, box-chunk-local).  Pair slot p (global within the box
+    chunk) maps to i = box_start + searchsorted(offsets, p, 'right') and
+    j = i + 1 + (p - exclusive_offset(i)).
+
+    Returns ``(pairs, count)``: an int32 (P, 2) buffer whose first ``count``
+    rows are the surviving element-id pairs in the reference's emit
+    convention, the rest padded with -2**31+1.
+    """
+    p = pair_start + jnp.arange(pair_chunk_size, dtype=jnp.int32)
+    in_range = p < n_pairs
+    p_c = jnp.minimum(p, jnp.maximum(n_pairs - 1, 0))
+
+    local_i = jnp.searchsorted(offsets, p_c, side="right", method="sort").astype(jnp.int32)
+    excl = jnp.where(local_i > 0, offsets[jnp.maximum(local_i - 1, 0)], 0)
+    i = box_start + local_i
+    j = i + 1 + (p_c - excl)
+    i = jnp.minimum(i, sorted_boxes.n - 1)
+    j = jnp.minimum(j, sorted_boxes.n - 1)
+
+    keep, a_eid, b_eid = _pair_filters(sorted_boxes, i, j, is_two_lists)
+    keep = keep & in_range
+
+    if is_two_lists:
+        first = flip_id(jnp.minimum(a_eid, b_eid))
+        second = jnp.maximum(a_eid, b_eid)
+    else:
+        first = jnp.minimum(a_eid, b_eid)
+        second = jnp.maximum(a_eid, b_eid)
+
+    # Compact survivors to the front: stable argsort on the inverted mask.
+    order = jnp.argsort(~keep, stable=True)
+    count = jnp.sum(keep, dtype=jnp.int32)
+    sentinel = jnp.int32(-(2**31) + 1)
+    pairs = jnp.stack(
+        [
+            jnp.where(keep, first, sentinel)[order],
+            jnp.where(keep, second, sentinel)[order],
+        ],
+        axis=1,
+    )
+    return pairs, count
+
+
+def sweep_chunks(
+    sorted_boxes: SortedBoxes,
+    is_two_lists: bool,
+    box_chunk_size: int,
+    pair_chunk_size: int,
+    n_real_boxes: Optional[int] = None,
+):
+    """Host-driven generator over candidate-pair chunks.
+
+    Yields ``(pairs_device, count_int)`` in bounded device memory, the
+    analogue of ``BroadPhase::detect_overlaps_partial`` looped by
+    ``is_complete()`` (``cuda/broad_phase/broad_phase.cu:121-252``).  The
+    chunk-halving overflow policy of ``handleBroadPhaseOverflow``
+    (``memory_handler.cpp:55-79``) is mirrored by splitting the *pair* index
+    space instead: totals are exact by construction (host int64), so no
+    guess-and-retry is ever needed.
+    """
+    n = sorted_boxes.n if n_real_boxes is None else n_real_boxes
+    box_start = 0
+    while box_start < n:
+        b = min(box_chunk_size, n - box_start)
+        k = count_major_runs(sorted_boxes, jnp.int32(box_start), box_chunk_size)
+        offsets = jnp.cumsum(k, dtype=jnp.int32)
+        total = int(offsets[-1])
+        logger().log(5, "broad chunk [%d, %d): %d major pairs", box_start, box_start + b, total)
+        pair_start = 0
+        while pair_start < total:
+            pairs, count = enumerate_pairs_chunk(
+                sorted_boxes,
+                jnp.int32(box_start),
+                offsets,
+                jnp.int32(pair_start),
+                jnp.int32(total),
+                pair_chunk_size,
+                is_two_lists,
+            )
+            yield pairs, int(count)
+            pair_start += pair_chunk_size
+        box_start += box_chunk_size
+
+
+def detect_overlaps(
+    sorted_boxes: SortedBoxes,
+    is_two_lists: bool,
+    box_chunk_size: int = 1 << 15,
+    pair_chunk_size: int = 1 << 20,
+    n_real_boxes: Optional[int] = None,
+) -> np.ndarray:
+    """Collect all candidate pairs to the host.
+
+    Standalone broad-phase API, the analogue of
+    ``BroadPhase::detect_overlaps()`` (``broad_phase.cu:226-252``) for callers
+    that run their own narrow phase.
+    """
+    out = []
+    for pairs, count in sweep_chunks(
+        sorted_boxes, is_two_lists, box_chunk_size, pair_chunk_size, n_real_boxes
+    ):
+        if count:
+            out.append(np.asarray(pairs[:count]))
+    if not out:
+        return np.zeros((0, 2), dtype=np.int32)
+    return np.concatenate(out, axis=0)

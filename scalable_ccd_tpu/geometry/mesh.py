@@ -1,0 +1,80 @@
+"""Mesh helpers: edge extraction and simple PLY IO.
+
+The reference's tests use libigl for mesh IO and edge extraction
+(``tests/io.cpp:10-38``: ``igl::read_triangle_mesh`` + ``igl::edges``).
+These are the minimal equivalents so the same test/bench shapes work here
+without external dependencies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["edges_from_faces", "read_ply", "write_ply"]
+
+
+def edges_from_faces(faces: np.ndarray) -> np.ndarray:
+    """Unique undirected edges of a triangle mesh (rows sorted, lexsorted),
+    matching ``igl::edges`` semantics."""
+    f = np.asarray(faces, dtype=np.int64)
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    e.sort(axis=1)
+    e = np.unique(e, axis=0)
+    return e.astype(np.int32)
+
+
+def read_ply(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read an ascii or binary-little-endian PLY triangle mesh -> (V, F)."""
+    with open(path, "rb") as fh:
+        header = []
+        while True:
+            line = fh.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        n_v = int(next(l.split()[-1] for l in header if l.startswith("element vertex")))
+        n_f = int(next(l.split()[-1] for l in header if l.startswith("element face")))
+        v_props = []
+        in_vertex = False
+        for l in header:
+            if l.startswith("element"):
+                in_vertex = l.startswith("element vertex")
+            elif l.startswith("property") and in_vertex:
+                v_props.append(l.split()[1])
+
+        if fmt == "ascii":
+            verts = np.loadtxt(fh, max_rows=n_v, dtype=np.float64)
+            faces = np.loadtxt(fh, max_rows=n_f, dtype=np.int64)[:, 1:4]
+        else:
+            dt_map = {"float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+                      "uchar": "u1", "uint8": "u1", "int": "<i4", "int32": "<i4"}
+            vdt = np.dtype([(p, dt_map[t]) for p, t in zip(
+                [l.split()[2] for l in header if l.startswith("property") and not l.startswith("property list")][: len(v_props)],
+                v_props,
+            )])
+            raw = np.frombuffer(fh.read(n_v * vdt.itemsize), dtype=vdt, count=n_v)
+            verts = np.stack([raw["x"], raw["y"], raw["z"]], axis=1).astype(np.float64)
+            faces = np.zeros((n_f, 3), dtype=np.int64)
+            for i in range(n_f):
+                cnt = np.frombuffer(fh.read(1), dtype=np.uint8)[0]
+                idx = np.frombuffer(fh.read(4 * cnt), dtype="<i4")
+                faces[i] = idx[:3]
+        if verts.ndim == 1:
+            verts = verts.reshape(n_v, -1)
+        return verts[:, :3].astype(np.float64), faces.astype(np.int32)
+
+
+def write_ply(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
+    v = np.asarray(vertices, dtype=np.float64)
+    f = np.asarray(faces, dtype=np.int64)
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {len(v)}\n")
+        fh.write("property double x\nproperty double y\nproperty double z\n")
+        fh.write(f"element face {len(f)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for row in v:
+            fh.write(f"{row[0]} {row[1]} {row[2]}\n")
+        for row in f:
+            fh.write(f"3 {row[0]} {row[1]} {row[2]}\n")
