@@ -178,30 +178,26 @@ def _pair_filters(sorted_boxes: SortedBoxes, i, j, is_two_lists: bool):
     return minor_ok & valid & ~share, a_eid, b_eid
 
 
-@functools.partial(jax.jit, static_argnames=("pair_chunk_size", "is_two_lists"))
-def enumerate_pairs_chunk(
+def decode_pair_slots(
     sorted_boxes: SortedBoxes,
     box_start: jax.Array,
     offsets: jax.Array,
-    pair_start: jax.Array,
+    slots: jax.Array,
     n_pairs: jax.Array,
-    pair_chunk_size: int,
     is_two_lists: bool,
-) -> Tuple[jax.Array, jax.Array]:
-    """Materialize & filter one chunk of the major-axis pair index space.
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Map major-axis pair slots to filtered element-id pairs.
 
-    ``offsets`` is the inclusive prefix sum of the k_i of the current *box
-    chunk* (int32, box-chunk-local).  Pair slot p (global within the box
-    chunk) maps to i = box_start + searchsorted(offsets, p, 'right') and
+    ``offsets`` is the inclusive prefix sum of the run lengths k_i of the box
+    chunk starting at ``box_start`` (int32, chunk-local).  Pair slot p maps to
+    i = box_start + searchsorted(offsets, p, 'right') and
     j = i + 1 + (p - exclusive_offset(i)).
 
-    Returns ``(pairs, count)``: an int32 (P, 2) buffer whose first ``count``
-    rows are the surviving element-id pairs in the reference's emit
-    convention, the rest padded with -2**31+1.
+    Returns ``(first, second, keep)``: element-id pairs in the reference's
+    emit convention and the surviving-pair mask.
     """
-    p = pair_start + jnp.arange(pair_chunk_size, dtype=jnp.int32)
-    in_range = p < n_pairs
-    p_c = jnp.minimum(p, jnp.maximum(n_pairs - 1, 0))
+    in_range = slots < n_pairs
+    p_c = jnp.minimum(slots, jnp.maximum(n_pairs - 1, 0))
 
     local_i = jnp.searchsorted(offsets, p_c, side="right", method="sort").astype(jnp.int32)
     excl = jnp.where(local_i > 0, offsets[jnp.maximum(local_i - 1, 0)], 0)
@@ -219,6 +215,29 @@ def enumerate_pairs_chunk(
     else:
         first = jnp.minimum(a_eid, b_eid)
         second = jnp.maximum(a_eid, b_eid)
+    return first, second, keep
+
+
+@functools.partial(jax.jit, static_argnames=("pair_chunk_size", "is_two_lists"))
+def enumerate_pairs_chunk(
+    sorted_boxes: SortedBoxes,
+    box_start: jax.Array,
+    offsets: jax.Array,
+    pair_start: jax.Array,
+    n_pairs: jax.Array,
+    pair_chunk_size: int,
+    is_two_lists: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Materialize & filter one chunk of the major-axis pair index space.
+
+    Returns ``(pairs, count)``: an int32 (P, 2) buffer whose first ``count``
+    rows are the surviving element-id pairs in the reference's emit
+    convention, the rest padded with -2**31+1.
+    """
+    slots = pair_start + jnp.arange(pair_chunk_size, dtype=jnp.int32)
+    first, second, keep = decode_pair_slots(
+        sorted_boxes, box_start, offsets, slots, n_pairs, is_two_lists
+    )
 
     # Compact survivors to the front: stable argsort on the inverted mask.
     order = jnp.argsort(~keep, stable=True)

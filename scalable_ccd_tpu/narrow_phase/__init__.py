@@ -1,0 +1,26 @@
+"""Narrow phase: batched tight-inclusion interval root finding.
+
+TPU-native re-design of ``src/scalable_ccd/cuda/narrow_phase/`` — see
+:mod:`scalable_ccd_tpu.narrow_phase.root_finder` for the design mapping.
+"""
+
+from scalable_ccd_tpu.narrow_phase.root_finder import RootFinderResult, find_roots
+from scalable_ccd_tpu.narrow_phase.types import (
+    CCDQueries,
+    compute_tolerance,
+    domain_corners,
+    gather_ee_queries,
+    gather_vf_queries,
+    numerical_error_bound,
+)
+
+__all__ = [
+    "CCDQueries",
+    "RootFinderResult",
+    "compute_tolerance",
+    "domain_corners",
+    "find_roots",
+    "gather_ee_queries",
+    "gather_vf_queries",
+    "numerical_error_bound",
+]

@@ -1,0 +1,216 @@
+"""Narrow-phase query data, tolerances, and conservative error bounds.
+
+TPU-native counterpart of the reference's narrow-phase data preparation:
+``CCDData`` (``src/scalable_ccd/cuda/narrow_phase/ccd_data.cuh:8-26``), the
+``add_data`` gather kernel (``cuda/narrow_phase/narrow_phase.cu:24-74``), the
+per-query domain tolerances (``cuda/narrow_phase/root_finder.cu:48-88``) and
+the floating-point error filters (``root_finder.cu:90-135``).
+
+The reference stores an array-of-structs of eight ``Vector3`` endpoints per
+query; here the natural JAX layout is structure-of-arrays: eight ``(Q, 3)``
+arrays.  Semantics of the four points for the two query types
+(``narrow_phase.cu:41-66``):
+
+- VF (vertex-face): p0 = vertex, p1/p2/p3 = the face's three vertices.
+- EE (edge-edge):   p0/p1 = edge A endpoints, p2/p3 = edge B endpoints.
+
+Each point moves linearly from its ``*s`` (t=0) to its ``*e`` (t=1) position.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "CCDQueries",
+    "gather_vf_queries",
+    "gather_ee_queries",
+    "domain_corners",
+    "compute_tolerance",
+    "numerical_error_bound",
+]
+
+
+class CCDQueries(NamedTuple):
+    """A batch of Q narrow-phase queries, structure-of-arrays.
+
+    Counterpart of ``CCDData`` (``ccd_data.cuh:8-26``) minus the derived
+    fields (``err``/``tol``/``nbr_checks``), which are computed on the fly.
+    """
+
+    p0s: jax.Array  # (Q, 3) point 0 at t=0
+    p1s: jax.Array
+    p2s: jax.Array
+    p3s: jax.Array
+    p0e: jax.Array  # (Q, 3) point 0 at t=1
+    p1e: jax.Array
+    p2e: jax.Array
+    p3e: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.p0s.shape[0]
+
+
+def gather_vf_queries(
+    vertices_t0: jax.Array,
+    vertices_t1: jax.Array,
+    faces: jax.Array,
+    overlaps: jax.Array,
+    dtype=None,
+) -> CCDQueries:
+    """Gather vertex-face query endpoints from candidate pairs.
+
+    ``overlaps`` is an int32 ``(Q, 2)`` array of (vertex_id, face_id) pairs —
+    the reference's ``add_data<true>`` kernel (``narrow_phase.cu:41-53``) as a
+    pure gather.  Out-of-range ids (chunk padding) are clamped; padded rows
+    must be masked downstream.
+    """
+    v0 = jnp.asarray(vertices_t0)
+    v1 = jnp.asarray(vertices_t1)
+    if dtype is not None:
+        v0 = v0.astype(dtype)
+        v1 = v1.astype(dtype)
+    f = jnp.asarray(faces, jnp.int32)
+    vi = jnp.clip(overlaps[:, 0], 0, v0.shape[0] - 1)
+    fi = jnp.clip(overlaps[:, 1], 0, f.shape[0] - 1)
+    fv = f[fi]  # (Q, 3)
+    return CCDQueries(
+        p0s=v0[vi], p1s=v0[fv[:, 0]], p2s=v0[fv[:, 1]], p3s=v0[fv[:, 2]],
+        p0e=v1[vi], p1e=v1[fv[:, 0]], p2e=v1[fv[:, 1]], p3e=v1[fv[:, 2]],
+    )
+
+
+def gather_ee_queries(
+    vertices_t0: jax.Array,
+    vertices_t1: jax.Array,
+    edges: jax.Array,
+    overlaps: jax.Array,
+    dtype=None,
+) -> CCDQueries:
+    """Gather edge-edge query endpoints from candidate (edgeA, edgeB) pairs.
+
+    The reference's ``add_data<false>`` kernel (``narrow_phase.cu:54-66``).
+    """
+    v0 = jnp.asarray(vertices_t0)
+    v1 = jnp.asarray(vertices_t1)
+    if dtype is not None:
+        v0 = v0.astype(dtype)
+        v1 = v1.astype(dtype)
+    e = jnp.asarray(edges, jnp.int32)
+    ea = jnp.clip(overlaps[:, 0], 0, e.shape[0] - 1)
+    eb = jnp.clip(overlaps[:, 1], 0, e.shape[0] - 1)
+    a, b = e[ea], e[eb]
+    return CCDQueries(
+        p0s=v0[a[:, 0]], p1s=v0[a[:, 1]], p2s=v0[b[:, 0]], p3s=v0[b[:, 1]],
+        p0e=v1[a[:, 0]], p1e=v1[a[:, 1]], p2e=v1[b[:, 0]], p3e=v1[b[:, 1]],
+    )
+
+
+def domain_corners(
+    q: CCDQueries,
+    lo: jax.Array,
+    hi: jax.Array,
+    is_vf: bool,
+) -> jax.Array:
+    """Evaluate the residual F at the 8 corners of a (t, u, v) box.
+
+    F is the multilinear distance residual whose roots are contacts
+    (``calculate_vf`` / ``calculate_ee``, ``root_finder.cu:137-155``):
+
+    - VF: ``F = v(t) - t0(t) - (t1(t)-t0(t))*u - (t2(t)-t0(t))*v``
+    - EE: ``F = (a0(t) + (a1(t)-a0(t))*u) - (b0(t) + (b1(t)-b0(t))*v)``
+
+    where every point is the linear interpolation ``p(t) = (pe-ps)*t + ps``.
+    F is affine in each of t, u, v separately, so its range over a box is
+    attained at the corners — the corner min/max *is* the exact interval
+    image, up to floating-point rounding covered by
+    :func:`numerical_error_bound`.
+
+    ``lo``/``hi``: ``(Q, 3)`` lower/upper bounds of (t, u, v).
+    Returns ``(Q, 2, 2, 2, 3)`` with axes (query, t-corner, u-corner,
+    v-corner, xyz); expression association follows the reference so rounding
+    behavior matches.
+    """
+    t = jnp.stack([lo[:, 0], hi[:, 0]], axis=1)[:, :, None]  # (Q, 2, 1)
+
+    def lerp(ps, pe):
+        return (pe - ps)[:, None, :] * t + ps[:, None, :]  # (Q, 2, 3)
+
+    p0 = lerp(q.p0s, q.p0e)
+    p1 = lerp(q.p1s, q.p1e)
+    p2 = lerp(q.p2s, q.p2e)
+    p3 = lerp(q.p3s, q.p3e)
+
+    u = jnp.stack([lo[:, 1], hi[:, 1]], axis=1)[:, None, :, None, None]  # (Q,1,2,1,1)
+    v = jnp.stack([lo[:, 2], hi[:, 2]], axis=1)[:, None, None, :, None]  # (Q,1,1,2,1)
+
+    def bc(p):  # (Q, 2, 3) -> (Q, 2, 1, 1, 3)
+        return p[:, :, None, None, :]
+
+    if is_vf:
+        # v - (t1 - t0) * u - (t2 - t0) * v - t0   (root_finder.cu:144)
+        return bc(p0) - bc(p2 - p1) * u - bc(p3 - p1) * v - bc(p1)
+    else:
+        # ((a1 - a0) * u + a0) - ((b1 - b0) * v + b0)   (root_finder.cu:154)
+        return (bc(p1 - p0) * u + bc(p0)) - (bc(p3 - p2) * v + bc(p2))
+
+
+def compute_tolerance(q: CCDQueries, is_vf: bool, co_domain_tolerance) -> jax.Array:
+    """Per-query (t, u, v) domain tolerances, shape (Q, 3).
+
+    ``tol[d] = co_domain_tolerance / (3 * max edge-difference along d)`` where
+    the max is the L∞ norm over the four edges of the unit-domain corner cube
+    in direction d (``compute_face_vertex_tolerance`` /
+    ``compute_edge_edge_tolerance``, ``root_finder.cu:48-88``).  The corner
+    values pXYZ in the reference are exactly F at the corners of [0,1]^3, so
+    we evaluate them with :func:`domain_corners`.
+
+    Reference quirk kept for parity: the EE variant reuses the t-direction
+    extent for u (``root_finder.cu:71-87`` — flagged there as an intentional
+    deviation from the original Tight-Inclusion).
+    """
+    dt = q.p0s.dtype
+    zero = jnp.zeros((q.n, 3), dt)
+    one = jnp.ones((q.n, 3), dt)
+    c = domain_corners(q, zero, one, is_vf)  # (Q, 2, 2, 2, 3)
+
+    def extent(axis):
+        # max over the 4 cube edges along `axis` of the Linf edge difference
+        d = jnp.abs(jnp.take(c, 1, axis=axis) - jnp.take(c, 0, axis=axis))
+        return jnp.max(d, axis=(1, 2, 3))  # (Q,)
+
+    ext_t = extent(1)
+    ext_u = extent(2)
+    ext_v = extent(3)
+    co = jnp.asarray(co_domain_tolerance, dt)
+    if is_vf:
+        return jnp.stack([co / (3 * ext_t), co / (3 * ext_u), co / (3 * ext_v)], axis=1)
+    else:
+        return jnp.stack([co / (3 * ext_t), co / (3 * ext_t), co / (3 * ext_v)], axis=1)
+
+
+def numerical_error_bound(q: CCDQueries, is_vf: bool, use_ms: bool) -> jax.Array:
+    """Conservative bound on the FP evaluation error of F, shape (Q, 3).
+
+    The reference hard-codes eight filter constants
+    (``get_numerical_error``, ``root_finder.cu:90-135``); each equals
+    ``k * machine_epsilon`` with k = 30 (VF) / 28 (EE), plus 4 when a minimum
+    separation is used — derived from the Tight-Inclusion forward error
+    analysis of the multilinear evaluation (one eps per rounding along the
+    longest evaluation chain, scaled by the cube of the coordinate
+    magnitude).  Deriving from eps keeps the bound correct for any working
+    dtype: ``err[d] = max_d^3 * k * eps`` with ``max_d`` the largest absolute
+    coordinate (clamped to >= 1) among all eight endpoints.
+    """
+    dt = q.p0s.dtype
+    eps = jnp.finfo(dt).eps
+    k = (30 if is_vf else 28) + (4 if use_ms else 0)
+    pts = jnp.stack(
+        [q.p0s, q.p1s, q.p2s, q.p3s, q.p0e, q.p1e, q.p2e, q.p3e], axis=1
+    )  # (Q, 8, 3)
+    m = jnp.maximum(jnp.max(jnp.abs(pts), axis=1), jnp.asarray(1.0, dt))
+    return m * m * m * (k * eps)

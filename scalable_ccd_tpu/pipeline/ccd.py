@@ -1,0 +1,259 @@
+"""Top-level CCD pipeline: broad phase -> narrow phase -> earliest TOI.
+
+TPU-native counterpart of ``scalable_ccd::cuda::ccd``
+(``src/scalable_ccd/cuda/ccd.cu:80-145``) and its chunked inner driver
+``partial_ccd`` (``ccd.cu:14-78``): build conservative boxes once, then for
+each simplex pairing (vertex-face two-list, edge-edge one-list) interleave
+broad-phase candidate chunks with narrow-phase solves, threading one running
+earliest TOI through everything so later chunks are pruned by earlier hits.
+
+Differences by design (see SURVEY.md §7):
+
+- Chunk sizes are static trace-time constants from :class:`MemoryConfig`
+  rather than live ``cudaMemGetInfo`` introspection; query batches are padded
+  to a fixed menu of bucket sizes so the number of compiled programs is
+  bounded.
+- The reference's overflow-and-retry protocols disappear: broad-phase pair
+  totals are exact by construction (prefix sums), and narrow-phase stack
+  overflow conservatively accepts instead of re-running.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from scalable_ccd_tpu.broad_phase.sweep import merge_two_lists, sort_boxes, sweep_chunks
+from scalable_ccd_tpu.config import CCDConfig, DEFAULT_CONFIG
+from scalable_ccd_tpu.geometry.aabb import (
+    build_edge_boxes,
+    build_face_boxes,
+    build_vertex_boxes,
+)
+from scalable_ccd_tpu.narrow_phase import (
+    find_roots,
+    gather_ee_queries,
+    gather_vf_queries,
+)
+from scalable_ccd_tpu.utils.logging import logger
+from scalable_ccd_tpu.utils.profiler import profiler
+
+__all__ = ["CCDStats", "ccd", "ipc_ccd_strategy"]
+
+
+@dataclasses.dataclass
+class CCDStats:
+    """Per-run observability, replacing the reference's log-scraping
+    (SURVEY.md §5.5): candidate/query counts and per-phase wall clock."""
+
+    vf_candidates: int = 0
+    ee_candidates: int = 0
+    narrow_checks: int = 0
+    overflow_queries: int = 0
+    broad_time_s: float = 0.0
+    narrow_time_s: float = 0.0
+
+
+def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _narrow_batches(overlaps, count, bucket_sizes):
+    """Split a candidate chunk into padded query batches.
+
+    The analogue of ``MemoryHandler::handleNarrowPhase`` fitting MAX_QUERIES
+    into memory (``memory_handler.cpp:81-122``), with the dynamic sizing
+    replaced by the static bucket menu.
+    """
+    max_b = bucket_sizes[-1]
+    start = 0
+    while start < count:
+        n = min(max_b, count - start)
+        b = _bucket(n, bucket_sizes)
+        yield overlaps[start : start + n], n, b
+        start += n
+
+
+def _pad_overlaps(chunk, n, b):
+    if chunk.shape[0] == b:
+        return chunk
+    if chunk.shape[0] > b:
+        return chunk[:b]
+    pad = jnp.zeros((b - chunk.shape[0], 2), jnp.int32)
+    return jnp.concatenate([chunk, pad], axis=0)
+
+
+def _partial_ccd(
+    is_vf: bool,
+    v0,
+    v1,
+    edges,
+    faces,
+    sorted_boxes,
+    min_distance: float,
+    max_iterations: int,
+    tolerance: float,
+    allow_zero_toi: bool,
+    config: CCDConfig,
+    toi: float,
+    stats: CCDStats,
+    collisions: Optional[List[Tuple[int, int, float]]],
+) -> float:
+    """One simplex pairing: interleaved broad chunks + narrow solves
+    (``partial_ccd``, ``ccd.cu:45-76``)."""
+    mem = config.memory.scaled()
+    buckets = mem.query_buckets
+    dtype = config.jnp_dtype
+
+    for pairs, count in sweep_chunks(
+        sorted_boxes,
+        is_two_lists=is_vf,
+        box_chunk_size=mem.box_chunk_size,
+        pair_chunk_size=mem.pair_chunk_size,
+    ):
+        if count == 0:
+            continue
+        if is_vf:
+            stats.vf_candidates += count
+        else:
+            stats.ee_candidates += count
+
+        t0 = time.perf_counter()
+        for chunk, n, b in _narrow_batches(pairs, count, buckets):
+            overlaps = _pad_overlaps(chunk, n, b)
+            valid = jnp.arange(b) < n
+            if is_vf:
+                q = gather_vf_queries(v0, v1, faces, overlaps, dtype=dtype)
+            else:
+                q = gather_ee_queries(v0, v1, edges, overlaps, dtype=dtype)
+            res = find_roots(
+                q,
+                valid,
+                is_vf,
+                toi_init=toi,
+                ms=min_distance,
+                tolerance=tolerance,
+                max_iterations=max_iterations,
+                allow_zero_toi=allow_zero_toi,
+                toi_per_query=config.toi_per_query,
+                stack_capacity=config.stack_capacity,
+            )
+            toi = float(res.toi)
+            stats.narrow_checks += int(res.checks.sum())
+            stats.overflow_queries += int(res.overflow.sum())
+            if collisions is not None:
+                pq = np.asarray(res.per_query_toi)
+                hits = np.nonzero(np.asarray(valid) & (pq < 1))[0]
+                ov = np.asarray(overlaps)
+                for i in hits:
+                    collisions.append((int(ov[i, 0]), int(ov[i, 1]), float(pq[i])))
+            logger().debug(
+                "ToI after %s batch (%d queries): %e", "VF" if is_vf else "EE", n, toi
+            )
+            # early exit, like the chunk loop's `&& toi > 0`
+            # (narrow_phase.cu:136); disabled when collecting per-pair TOIs
+            if collisions is None and toi <= 0:
+                stats.narrow_time_s += time.perf_counter() - t0
+                return toi
+        stats.narrow_time_s += time.perf_counter() - t0
+    return toi
+
+
+def ccd(
+    vertices_t0,
+    vertices_t1,
+    edges,
+    faces,
+    min_distance: float = 0.0,
+    max_iterations: int = -1,
+    tolerance: float = 1e-6,
+    allow_zero_toi: bool = True,
+    config: CCDConfig = DEFAULT_CONFIG,
+    collisions: Optional[List[Tuple[int, int, float]]] = None,
+    stats: Optional[CCDStats] = None,
+):
+    """Earliest time of impact over all vertex-face and edge-edge pairs.
+
+    The public pipeline API (``cuda::ccd``, ``ccd.cuh:26-38``): vertices move
+    linearly ``vertices_t0 -> vertices_t1`` over t in [0, 1]; returns the
+    earliest conservative TOI in [0, 1], 1.0 meaning "no contact".  Pass a
+    ``collisions`` list to also collect per-pair (id_a, id_b, toi) hits — the
+    reference's ``SCALABLE_CCD_TOI_PER_QUERY`` mode (``ccd.cuh:35-37``) as a
+    runtime option.
+    """
+    stats = stats if stats is not None else CCDStats()
+    dtype = config.jnp_dtype
+
+    with profiler().scope("ccd"):
+        t0 = time.perf_counter()
+        with profiler().scope("build_boxes"):
+            vertex_boxes = build_vertex_boxes(
+                vertices_t0, vertices_t1, inflation_radius=min_distance, dtype=dtype
+            )
+            edge_boxes = build_edge_boxes(vertex_boxes, edges)
+            face_boxes = build_face_boxes(vertex_boxes, faces)
+
+        with profiler().scope("sort_boxes"):
+            vf_sorted = sort_boxes(merge_two_lists(vertex_boxes, face_boxes))
+            ee_sorted = sort_boxes(edge_boxes)
+        stats.broad_time_s += time.perf_counter() - t0
+
+        toi = 1.0
+        with profiler().scope("vf_pipeline"):
+            toi = _partial_ccd(
+                True, vertices_t0, vertices_t1, edges, faces, vf_sorted,
+                min_distance, max_iterations, tolerance, allow_zero_toi,
+                config, toi, stats, collisions,
+            )
+        with profiler().scope("ee_pipeline"):
+            if collisions is not None or toi > 0:
+                toi = _partial_ccd(
+                    False, vertices_t0, vertices_t1, edges, faces, ee_sorted,
+                    min_distance, max_iterations, tolerance, allow_zero_toi,
+                    config, toi, stats, collisions,
+                )
+
+    return toi
+
+
+def ipc_ccd_strategy(
+    vertices_t0,
+    vertices_t1,
+    edges,
+    faces,
+    min_distance: float = 0.0,
+    max_iterations: int = 1_000_000,
+    tolerance: float = 1e-6,
+    config: CCDConfig = DEFAULT_CONFIG,
+    stats: Optional[CCDStats] = None,
+):
+    """The IPC [Li et al. 2020] stepping rule on top of the same pipeline.
+
+    Mirrors ``cuda::ipc_ccd_strategy`` (``ipc_ccd_strategy.cu:43-93``): run
+    CCD with the minimum separation; if the earliest TOI lands below 1e-6
+    (the barrier would be violated immediately), discard it and re-run
+    *unbounded* with ms = 0 and zero TOI disallowed, then back off by
+    multiplying the result by 0.8 so the step stays strictly pre-contact.
+    """
+    stats = stats if stats is not None else CCDStats()
+    toi = ccd(
+        vertices_t0, vertices_t1, edges, faces,
+        min_distance=min_distance, max_iterations=max_iterations,
+        tolerance=tolerance, allow_zero_toi=True, config=config, stats=stats,
+    )
+    if toi < 1e-6:
+        logger().debug("IPC refinement: earliest_toi=%g, re-running exactly", toi)
+        toi = ccd(
+            vertices_t0, vertices_t1, edges, faces,
+            min_distance=0.0, max_iterations=-1, tolerance=tolerance,
+            allow_zero_toi=False, config=config, stats=stats,
+        )
+        toi *= 0.8
+    return toi

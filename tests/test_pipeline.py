@@ -1,0 +1,157 @@
+"""End-to-end pipeline tests.
+
+Models the reference's ``tests/test_narrow_phase.cu`` (full ``cuda::ccd()``
+on a contact-rich scene with a golden TOI); offline the golden value comes
+from an in-repo flat oracle: brute-force broad phase + one-batch root finding
+with per-query pruning.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from scalable_ccd_tpu.broad_phase.brute_force import brute_force_overlaps
+from scalable_ccd_tpu.config import CCDConfig, MemoryConfig
+from scalable_ccd_tpu.geometry.aabb import (
+    build_edge_boxes,
+    build_face_boxes,
+    build_vertex_boxes,
+)
+from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere, triangle_soup
+from scalable_ccd_tpu.narrow_phase import (
+    find_roots,
+    gather_ee_queries,
+    gather_vf_queries,
+)
+from scalable_ccd_tpu.pipeline import CCDStats, ccd, ipc_ccd_strategy
+
+# small chunks so the chunking machinery is actually exercised
+SMALL_MEM = MemoryConfig(
+    box_chunk_size=1 << 10, pair_chunk_size=1 << 14, query_buckets=(1 << 10, 1 << 12)
+)
+CONFIG = CCDConfig(dtype="float64", memory=SMALL_MEM)
+
+
+def flat_oracle_toi(scene, min_distance=0.0, tolerance=1e-6):
+    """Brute-force candidates + single-batch narrow phase, no chunking."""
+    dtype = jnp.float64
+    vb = build_vertex_boxes(
+        scene.vertices_t0, scene.vertices_t1, inflation_radius=min_distance,
+        dtype=dtype,
+    )
+    eb = build_edge_boxes(vb, scene.edges)
+    fb = build_face_boxes(vb, scene.faces)
+
+    toi = 1.0
+    vf = brute_force_overlaps(vb, fb)
+    if len(vf):
+        q = gather_vf_queries(
+            scene.vertices_t0, scene.vertices_t1, scene.faces, jnp.asarray(vf),
+            dtype=dtype,
+        )
+        res = find_roots(
+            q, jnp.ones((q.n,), bool), True, toi_init=toi, ms=min_distance,
+            tolerance=tolerance, toi_per_query=True,
+        )
+        toi = float(res.toi)
+    ee = brute_force_overlaps(eb)
+    if len(ee):
+        q = gather_ee_queries(
+            scene.vertices_t0, scene.vertices_t1, scene.edges, jnp.asarray(ee),
+            dtype=dtype,
+        )
+        res = find_roots(
+            q, jnp.ones((q.n,), bool), False, toi_init=toi, ms=min_distance,
+            tolerance=tolerance, toi_per_query=True,
+        )
+        toi = float(res.toi)
+    return toi
+
+
+@pytest.fixture(scope="module")
+def small_cloth():
+    return cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
+
+
+class TestCCD:
+    def test_cloth_scene_matches_flat_oracle(self, small_cloth):
+        stats = CCDStats()
+        toi = ccd(
+            small_cloth.vertices_t0, small_cloth.vertices_t1,
+            small_cloth.edges, small_cloth.faces,
+            config=CONFIG, stats=stats,
+        )
+        want = flat_oracle_toi(small_cloth)
+        assert 0.0 < toi < 1.0
+        assert toi == pytest.approx(want, rel=1e-9)
+        assert stats.vf_candidates > 0
+        assert stats.ee_candidates > 0
+        assert stats.narrow_checks > 0
+
+    def test_no_motion_no_contact(self):
+        soup = triangle_soup(n_triangles=40, motion=0.0, seed=2)
+        # spread the triangles far apart so nothing touches
+        v0 = np.asarray(soup.vertices_t0)
+        centers = v0.reshape(-1, 3, 3).mean(axis=1, keepdims=True)
+        v0 = (v0.reshape(-1, 3, 3) - centers + centers * 50.0).reshape(-1, 3)
+        toi = ccd(v0, v0.copy(), soup.edges, soup.faces, config=CONFIG)
+        assert toi == 1.0
+
+    def test_soup_matches_flat_oracle(self):
+        soup = triangle_soup(n_triangles=60, motion=0.3, seed=1)
+        toi = ccd(
+            soup.vertices_t0, soup.vertices_t1, soup.edges, soup.faces,
+            config=CONFIG,
+        )
+        want = flat_oracle_toi(soup)
+        assert toi == pytest.approx(want, rel=1e-9)
+
+    def test_min_distance_earlier(self, small_cloth):
+        plain = ccd(
+            small_cloth.vertices_t0, small_cloth.vertices_t1,
+            small_cloth.edges, small_cloth.faces, config=CONFIG,
+        )
+        sep = ccd(
+            small_cloth.vertices_t0, small_cloth.vertices_t1,
+            small_cloth.edges, small_cloth.faces, min_distance=0.05,
+            config=CONFIG, max_iterations=20_000,
+        )
+        assert sep <= plain
+
+    def test_collisions_output(self, small_cloth):
+        collisions = []
+        toi = ccd(
+            small_cloth.vertices_t0, small_cloth.vertices_t1,
+            small_cloth.edges, small_cloth.faces,
+            config=CONFIG.replace(toi_per_query=True), collisions=collisions,
+        )
+        assert len(collisions) > 0
+        tois = np.array([c[2] for c in collisions])
+        # the reference asserts global toi <= every per-query toi
+        # (test_narrow_phase.cu:59-63)
+        assert toi == pytest.approx(float(tois.min()), rel=1e-12)
+        assert np.all(tois >= toi)
+
+
+class TestIPCStrategy:
+    def test_plain_step(self, small_cloth):
+        toi = ipc_ccd_strategy(
+            small_cloth.vertices_t0, small_cloth.vertices_t1,
+            small_cloth.edges, small_cloth.faces,
+            min_distance=1e-3, config=CONFIG,
+        )
+        assert 0.0 <= toi <= 1.0
+
+    def test_refinement_scales_by_0p8(self):
+        """A frame already touching at t~0 triggers the exact re-solve."""
+        soup = triangle_soup(n_triangles=12, motion=0.4, seed=6)
+        v0 = np.asarray(soup.vertices_t0)
+        # duplicate a triangle on top of another to force an immediate contact
+        v1 = np.asarray(soup.vertices_t1)
+        toi_plain = ccd(v0, v1, soup.edges, soup.faces, config=CONFIG)
+        toi_ipc = ipc_ccd_strategy(v0, v1, soup.edges, soup.faces, config=CONFIG)
+        if toi_plain < 1e-6:
+            assert toi_ipc <= 0.8
+        else:
+            assert toi_ipc == pytest.approx(toi_plain, rel=1e-9)
