@@ -1,0 +1,86 @@
+"""Benchmark: fused CCD step wall-clock on the canonical contact scene.
+
+Runs on whatever device JAX picks (the real TPU chip under the driver).
+The reference publishes no numbers (BASELINE.md: ``"published": {}``), so
+``vs_baseline`` is the speedup over this repo's own first recorded TPU
+result (stored in ``BENCH_BASELINE.json`` the first time this script runs
+on a TPU); 1.0 on the run that creates the baseline.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_PATH = os.path.join(REPO, "BENCH_BASELINE.json")
+
+# Scene scale chosen to mirror the reference's cloth-ball workload
+# (46,598 vertex / 138,825 edge / 92,230 face boxes; BASELINE.md).
+GRID_N = 128
+SUBDIV = 4
+VF_BUDGET = 1 << 21
+EE_BUDGET = 1 << 22
+REPS = 5
+
+
+def main() -> None:
+    from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    scene = cloth_on_sphere(grid_n=GRID_N, sphere_subdiv=SUBDIV, drop=0.25)
+    args = (
+        jnp.asarray(scene.vertices_t0, jnp.float32),
+        jnp.asarray(scene.vertices_t1, jnp.float32),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+    kw = dict(
+        vf_budget=VF_BUDGET, ee_budget=EE_BUDGET,
+        max_iterations=1 << 20, dtype=jnp.float32,
+    )
+
+    res = fused_ccd(*args, **kw)  # compile + warm up
+    jax.block_until_ready(res.toi)
+    assert not bool(res.overflowed), (
+        f"budgets too small: vf={int(res.vf_total)} ee={int(res.ee_total)}"
+    )
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        res = fused_ccd(*args, **kw)
+        jax.block_until_ready(res.toi)
+        times.append((time.perf_counter() - t0) * 1e3)
+    ms = statistics.median(times)
+
+    platform = jax.devices()[0].platform
+    vs_baseline = 1.0
+    if platform != "cpu":
+        if os.path.exists(BASELINE_PATH):
+            with open(BASELINE_PATH) as f:
+                vs_baseline = json.load(f)["value"] / ms
+        else:
+            with open(BASELINE_PATH, "w") as f:
+                json.dump({"value": ms, "platform": platform}, f)
+
+    print(json.dumps({
+        "metric": "fused_ccd_ms_per_frame_clothball_scale",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

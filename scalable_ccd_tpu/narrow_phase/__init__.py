@@ -4,6 +4,7 @@ TPU-native re-design of ``src/scalable_ccd/cuda/narrow_phase/`` — see
 :mod:`scalable_ccd_tpu.narrow_phase.root_finder` for the design mapping.
 """
 
+from scalable_ccd_tpu.narrow_phase.bfs import find_roots_bfs
 from scalable_ccd_tpu.narrow_phase.root_finder import RootFinderResult, find_roots
 from scalable_ccd_tpu.narrow_phase.types import (
     CCDQueries,
@@ -20,6 +21,7 @@ __all__ = [
     "compute_tolerance",
     "domain_corners",
     "find_roots",
+    "find_roots_bfs",
     "gather_ee_queries",
     "gather_vf_queries",
     "numerical_error_bound",

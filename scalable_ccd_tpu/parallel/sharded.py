@@ -1,0 +1,119 @@
+"""Multi-chip CCD over a 1-D device mesh.
+
+TPU-native replacement for the reference's experimental multi-GPU broad
+phase (``src/scalable_ccd/cuda/broad_phase/_multigpu/`` — dead code that
+range-shards the sorted box array across GPUs with full replication and
+peer-to-peer copies, SURVEY.md §2.2).  Here:
+
+- The mesh inputs (two vertex frames + connectivity) are small and
+  replicated; every chip builds and sorts boxes identically (cheaper than
+  communicating a distributed sort for any realistic mesh size).
+- The *major-axis pair-slot space* — the actual O(candidate) work — is
+  range-sharded: shard s of S takes slots [s*B, (s+1)*B).  Slots are
+  uniform units of work, so this is perfect static load balance without the
+  reference's guess-and-rerun per-device buffers
+  (``_multigpu/broad_phase.cu:135-175``).
+- The only cross-chip traffic is one ``lax.pmin`` of the running TOI per
+  phase (VF then EE), riding ICI — replacing device-local ``atomicMin`` +
+  host reduction.
+
+Works on any ``jax.sharding.Mesh``, including the CPU-backed virtual meshes
+used in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from scalable_ccd_tpu.pipeline.fused import FusedCCDResult, fused_ccd_core
+
+try:  # jax >= 0.6
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+__all__ = ["make_sharded_ccd", "sharded_ccd", "default_mesh"]
+
+AXIS = "ccd"
+
+
+def default_mesh(devices=None) -> Mesh:
+    """A 1-D mesh over all (or the given) devices."""
+    import numpy as np
+
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def make_sharded_ccd(
+    mesh: Mesh,
+    vf_budget_per_shard: int = 1 << 14,
+    ee_budget_per_shard: int = 1 << 14,
+    max_iterations: int = -1,
+    allow_zero_toi: bool = True,
+    dtype=jnp.float32,
+    stack_capacity: int = 96,
+    narrow_batch: int = 1 << 16,
+):
+    """Build a jitted multi-chip CCD step over ``mesh``.
+
+    Returns ``fn(v0, v1, edges, faces, min_distance, tolerance) ->``
+    :class:`FusedCCDResult` with all inputs/outputs replicated.
+    """
+
+    def step(v0, v1, edges, faces, min_distance, tolerance):
+        return fused_ccd_core(
+            v0,
+            v1,
+            edges,
+            faces,
+            vf_budget=vf_budget_per_shard,
+            ee_budget=ee_budget_per_shard,
+            min_distance=min_distance,
+            tolerance=tolerance,
+            max_iterations=max_iterations,
+            allow_zero_toi=allow_zero_toi,
+            dtype=dtype,
+            stack_capacity=stack_capacity,
+            narrow_batch=narrow_batch,
+            axis_name=AXIS,
+        )
+
+    sharded = _shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=FusedCCDResult(toi=P(), overflowed=P(), vf_total=P(), ee_total=P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_ccd(
+    vertices_t0,
+    vertices_t1,
+    edges,
+    faces,
+    mesh: Optional[Mesh] = None,
+    min_distance=0.0,
+    tolerance=1e-6,
+    **kwargs,
+) -> FusedCCDResult:
+    """One-shot multi-chip CCD (convenience wrapper over
+    :func:`make_sharded_ccd`)."""
+    mesh = default_mesh() if mesh is None else mesh
+    fn = make_sharded_ccd(mesh, **kwargs)
+    dtype = kwargs.get("dtype", jnp.float32)
+    return fn(
+        jnp.asarray(vertices_t0),
+        jnp.asarray(vertices_t1),
+        jnp.asarray(edges, jnp.int32),
+        jnp.asarray(faces, jnp.int32),
+        jnp.asarray(min_distance, dtype),
+        jnp.asarray(tolerance, dtype),
+    )

@@ -1,0 +1,96 @@
+"""Fused single-dispatch CCD and multi-chip sharded CCD.
+
+Multi-chip runs on the 8 virtual CPU devices configured in conftest — the
+TPU-native answer to the reference's dead multi-GPU experiment
+(``_multigpu/broad_phase.cu``): result must be identical to single-chip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scalable_ccd_tpu.config import CCDConfig, MemoryConfig
+from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere, triangle_soup
+from scalable_ccd_tpu.parallel.sharded import default_mesh, make_sharded_ccd
+from scalable_ccd_tpu.pipeline import ccd
+from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
+
+
+def _args(scene, dtype=jnp.float64):
+    return (
+        jnp.asarray(scene.vertices_t0, dtype),
+        jnp.asarray(scene.vertices_t1, dtype),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+
+
+class TestFused:
+    def test_matches_chunked_pipeline(self, scene):
+        res = fused_ccd(*_args(scene), vf_budget=1 << 15, ee_budget=1 << 15,
+                        dtype=jnp.float64)
+        assert not bool(res.overflowed)
+        cfg = CCDConfig(dtype="float64")
+        want = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges,
+                   scene.faces, config=cfg)
+        assert float(res.toi) == pytest.approx(want, rel=1e-9)
+
+    def test_overflow_flag(self, scene):
+        res = fused_ccd(*_args(scene), vf_budget=64, ee_budget=64,
+                        dtype=jnp.float64)
+        assert bool(res.overflowed)
+
+    def test_no_contact(self):
+        soup = triangle_soup(n_triangles=30, motion=0.0, seed=9)
+        v0 = np.asarray(soup.vertices_t0).reshape(-1, 3, 3)
+        v0 = (v0 - v0.mean(1, keepdims=True) + 100 * v0.mean(1, keepdims=True))
+        v0 = v0.reshape(-1, 3)
+        res = fused_ccd(
+            jnp.asarray(v0), jnp.asarray(v0.copy()),
+            jnp.asarray(soup.edges, jnp.int32), jnp.asarray(soup.faces, jnp.int32),
+            vf_budget=1 << 14, ee_budget=1 << 14, dtype=jnp.float64,
+        )
+        assert not bool(res.overflowed)
+        assert float(res.toi) == 1.0
+
+    def test_min_distance(self, scene):
+        plain = fused_ccd(*_args(scene), vf_budget=1 << 15, ee_budget=1 << 15,
+                          dtype=jnp.float64)
+        sep = fused_ccd(*_args(scene), vf_budget=1 << 15, ee_budget=1 << 15,
+                        min_distance=0.02, max_iterations=20_000,
+                        dtype=jnp.float64)
+        assert float(sep.toi) <= float(plain.toi)
+
+
+class TestSharded:
+    def test_eight_shards_match_single_chip(self, scene):
+        mesh = default_mesh()
+        assert mesh.size == 8, "conftest must configure 8 virtual devices"
+        fn = make_sharded_ccd(
+            mesh, vf_budget_per_shard=1 << 12, ee_budget_per_shard=1 << 12,
+            dtype=jnp.float64,
+        )
+        res = fn(*_args(scene), jnp.float64(0.0), jnp.float64(1e-6))
+        assert not bool(res.overflowed)
+        single = fused_ccd(*_args(scene), vf_budget=1 << 15, ee_budget=1 << 15,
+                           dtype=jnp.float64)
+        # exact same set of accepted domains -> identical TOI
+        assert float(res.toi) == float(single.toi)
+        assert int(res.vf_total) == int(single.vf_total)
+        assert int(res.ee_total) == int(single.ee_total)
+
+    def test_per_shard_overflow_detected(self, scene):
+        mesh = default_mesh()
+        fn = make_sharded_ccd(
+            mesh, vf_budget_per_shard=8, ee_budget_per_shard=8,
+            dtype=jnp.float64,
+        )
+        res = fn(*_args(scene), jnp.float64(0.0), jnp.float64(1e-6))
+        assert bool(res.overflowed)
