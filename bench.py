@@ -52,9 +52,11 @@ def main() -> None:
 
     res = fused_ccd(*args, **kw)  # compile + warm up
     jax.block_until_ready(res.toi)
-    assert not bool(res.overflowed), (
-        f"budgets too small: vf={int(res.vf_total)} ee={int(res.ee_total)}"
-    )
+    while bool(res.overflowed):  # grow budgets like the reference's retry
+        kw["vf_budget"] = max(kw["vf_budget"] * 2, 2 * int(res.vf_total))
+        kw["ee_budget"] = max(kw["ee_budget"] * 2, 2 * int(res.ee_total))
+        res = fused_ccd(*args, **kw)
+        jax.block_until_ready(res.toi)
 
     times = []
     for _ in range(REPS):
