@@ -29,7 +29,7 @@ BASELINE_PATH = os.path.join(REPO, "BENCH_BASELINE.json")
 # (46,598 vertex / 138,825 edge / 92,230 face boxes; BASELINE.md).
 GRID_N = 128
 SUBDIV = 4
-VF_BUDGET = 1 << 21
+VF_BUDGET = 1 << 22  # surviving-candidate budgets (MAX_OVERLAP_SIZE analogue)
 EE_BUDGET = 1 << 22
 REPS = 5
 
@@ -53,8 +53,8 @@ def main() -> None:
     res = fused_ccd(*args, **kw)  # compile + warm up
     jax.block_until_ready(res.toi)
     while bool(res.overflowed):  # grow budgets like the reference's retry
-        kw["vf_budget"] = max(kw["vf_budget"] * 2, 2 * int(res.vf_total))
-        kw["ee_budget"] = max(kw["ee_budget"] * 2, 2 * int(res.ee_total))
+        kw["vf_budget"] *= 2
+        kw["ee_budget"] *= 2
         res = fused_ccd(*args, **kw)
         jax.block_until_ready(res.toi)
 

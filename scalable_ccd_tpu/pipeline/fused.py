@@ -3,19 +3,34 @@
 The reference interleaves host-driven chunks with device kernels and syncs
 after every stage (``cuda/ccd.cu:55-76``; ``cudaDeviceSynchronize`` after each
 launch).  On TPU the same pipeline fuses into ONE jitted program with static
-work budgets: box build -> sort -> run-length count -> pair decode -> gather
--> batched root finding, for VF then EE, threading the running TOI through —
-zero host round-trips.  This is the fast path for scenes whose candidate
-counts fit the budgets; a budget overflow is reported as a scalar flag and
-the caller falls back to the chunked :func:`scalable_ccd_tpu.pipeline.ccd`
-(the same contract as the reference's overflow-and-retry protocol,
-``memory_handler.cpp:55-79``, moved to a single boundary).
+work budgets — zero host round-trips:
+
+1. box build -> sort (VF two-list merge + EE one-list);
+2. **sweep**: enumerate the major-axis pair-slot space in fixed-size batches
+   under a ``lax.while_loop`` (early exit once the true total is consumed),
+   filter (minor-axis overlap, simplex validity, covertex — the tests of
+   ``cuda/broad_phase/sweep.cu:139-181``), and **compact survivors into a
+   dense candidate buffer** with a cumsum + scatter — the functional
+   equivalent of the reference's ``add_overlap`` atomic append
+   (``collision.cuh:45-54``);
+3. **narrow phase**: a second ``while_loop`` over dense candidate batches,
+   each solved by the frontier-BFS root finder, threading the running TOI so
+   later batches are pruned by earlier hits (the device-side twin of the
+   chunk loop ``ccd.cu:55-76``).
+
+Work is therefore proportional to the *true* candidate count, not to the
+pre-filter slot space (which can be 10-100x larger on sorted-axis-congested
+scenes).  Budget overflows (slot space or candidate buffer) are reported as
+a scalar flag and the caller falls back to the chunked
+:func:`scalable_ccd_tpu.pipeline.ccd` — the same contract as the reference's
+overflow-and-retry protocol (``memory_handler.cpp:55-79``) moved to a single
+boundary.
 
 The same core runs under ``shard_map`` for multi-chip execution: every shard
-takes a contiguous range of the major-axis pair-slot space (perfect static
-load balance), solves its queries locally, and the only communication is one
-``lax.pmin`` per phase for the running TOI — the TPU-native replacement for
-the reference's ``atomicMin`` (``atomic_min_float.cuh``) and for the dead
+takes a contiguous range of the pre-filter slot space, compacts and solves
+its own candidates locally, and the only communication is one ``lax.pmin``
+per phase for the running TOI — the TPU-native replacement for the
+reference's ``atomicMin`` (``atomic_min_float.cuh``) and for the dead
 multi-GPU peer-copy design (``_multigpu/broad_phase.cu:72-115``).
 """
 
@@ -51,18 +66,80 @@ __all__ = ["FusedCCDResult", "fused_ccd", "fused_ccd_core"]
 class FusedCCDResult(NamedTuple):
     #: () earliest TOI in [0, 1]; 1.0 = no contact (valid only if not overflowed)
     toi: jax.Array
-    #: () bool — a pair budget was exceeded; fall back to the chunked pipeline
+    #: () bool — a budget was exceeded; fall back to the chunked pipeline
     overflowed: jax.Array
-    #: () int32 — total VF major-axis pair slots (pre-filter)
+    #: () int32 — surviving VF candidate pairs (clamped to the pair budget)
     vf_total: jax.Array
-    #: () int32 — total EE major-axis pair slots (pre-filter)
+    #: () int32 — surviving EE candidate pairs (clamped to the pair budget)
     ee_total: jax.Array
+
+
+def _sweep_compact(
+    sorted_boxes,
+    is_vf: bool,
+    offsets,
+    total,
+    pair_budget: int,
+    sweep_batch: int,
+    max_sweep_steps: int,
+    axis_name: Optional[str],
+):
+    """Filter + compact the major-axis slot space into a dense pair buffer.
+
+    Returns ``(pairs, n_pairs, overflow)``: an int32 ``(pair_budget, 2)``
+    buffer whose first ``n_pairs`` rows are surviving element-id pairs, and
+    an overflow flag set if either the slot space exceeded what
+    ``max_sweep_steps`` batches can enumerate or more than ``pair_budget``
+    survivors were found.
+    """
+    if axis_name is None:
+        base = jnp.int32(0)
+        my_total = total
+    else:
+        idx = jax.lax.axis_index(axis_name)
+        n_shards = jax.lax.axis_size(axis_name)
+        # contiguous slot ranges per shard (perfect static load balance)
+        per = (total + n_shards - 1) // n_shards
+        base = (idx * per).astype(jnp.int32)
+        my_total = jnp.minimum(per, jnp.maximum(total - base, 0))
+
+    lane = jnp.arange(sweep_batch, dtype=jnp.int32)
+    pairs0 = jnp.full((pair_budget, 2), jnp.int32(-(2**31) + 1))
+
+    def cond(st):
+        step, _, _, _ = st
+        return (step * sweep_batch < my_total) & (step < max_sweep_steps)
+
+    def body(st):
+        step, wp, pairs, of = st
+        slots = base + step * sweep_batch + lane
+        first, second, keep = decode_pair_slots(
+            sorted_boxes, jnp.int32(0), offsets, slots, base + my_total,
+            is_two_lists=is_vf,
+        )
+        keep = keep & (slots >= base)
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        dst = jnp.where(keep, wp + pos, pair_budget)  # OOB rows dropped
+        pairs = pairs.at[dst].set(
+            jnp.stack([first, second], axis=1), mode="drop"
+        )
+        nkeep = jnp.sum(keep, dtype=jnp.int32)
+        of = of | (wp + nkeep > pair_budget)
+        wp = jnp.minimum(wp + nkeep, jnp.int32(pair_budget))
+        return step + 1, wp, pairs, of
+
+    step, n_pairs, pairs, of = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), pairs0, jnp.zeros((), bool))
+    )
+    # slot space bigger than the enumeration budget -> candidates missed
+    of = of | (step * sweep_batch < my_total)
+    return pairs, n_pairs, of
 
 
 def _phase(
     sorted_boxes,
     is_vf: bool,
-    budget: int,
+    pair_budget: int,
     batch: int,
     v0,
     v1,
@@ -74,76 +151,66 @@ def _phase(
     max_iterations: int,
     allow_zero_toi: bool,
     stack_capacity: int,
+    sweep_batch: int,
+    max_sweep_steps: int,
     dtype,
     axis_name: Optional[str],
     solver: str = "bfs",
 ):
-    """One simplex pairing (VF two-list or EE one-list) at fixed budget.
-
-    The budget's pair slots are consumed by a ``lax.scan`` over sub-batches
-    of ``batch`` queries, carrying the running TOI — the device-side twin of
-    the reference's sequential chunk loop (``ccd.cu:55-76``): later batches
-    are pruned by earlier hits, and narrow-phase memory stays at
-    O(batch * stack_capacity) regardless of budget.  Batches whose slots lie
-    past the true pair total decode to an all-False mask and their root
-    finder exits after one iteration.
-    """
+    """One simplex pairing (VF two-list or EE one-list) at fixed budgets."""
     n = sorted_boxes.n
     k = count_major_runs(sorted_boxes, jnp.int32(0), n)
     offsets = jnp.cumsum(k, dtype=jnp.int32)
     total = offsets[-1]
 
-    if axis_name is None:
-        base = jnp.int32(0)
-        capacity = jnp.int32(budget)
-    else:
-        idx = jax.lax.axis_index(axis_name)
-        base = (idx * budget).astype(jnp.int32)
-        capacity = jnp.int32(budget * jax.lax.axis_size(axis_name))
+    pairs, n_pairs, overflow = _sweep_compact(
+        sorted_boxes, is_vf, offsets, total,
+        pair_budget, sweep_batch, max_sweep_steps, axis_name,
+    )
 
-    n_steps = max(1, -(-budget // batch))
+    n_steps = max(1, -(-pair_budget // batch))
     lane = jnp.arange(batch, dtype=jnp.int32)
 
-    def body(toi, step):
-        slots = base + step * batch + lane
-        first, second, keep = decode_pair_slots(
-            sorted_boxes, jnp.int32(0), offsets, slots, total, is_two_lists=is_vf
-        )
-        overlaps = jnp.stack([first, second], axis=1)
+    def cond(st):
+        step, toi = st
+        # `toi > 0` early exit mirrors the reference chunk loop's
+        # `remaining_queries && toi > 0` (narrow_phase.cu:136)
+        return (step * batch < n_pairs) & (toi > 0)
+
+    def body(st):
+        step, toi = st
+        start = step * batch
+        chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
+        keep = (start + lane) < n_pairs
         if is_vf:
-            q = gather_vf_queries(v0, v1, faces, overlaps, dtype=dtype)
+            q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype)
         else:
-            q = gather_ee_queries(v0, v1, edges, overlaps, dtype=dtype)
+            q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype)
         if solver == "bfs":
             res = find_roots_bfs(
-                q,
-                keep,
-                is_vf,
-                toi_init=toi,
-                ms=ms,
-                tolerance=tolerance,
+                q, keep, is_vf,
+                toi_init=toi, ms=ms, tolerance=tolerance,
                 max_iterations=max_iterations,
                 allow_zero_toi=allow_zero_toi,
                 frontier_capacity=4 * batch,
             )
         else:
             res = find_roots(
-                q,
-                keep,
-                is_vf,
-                toi_init=toi,
-                ms=ms,
-                tolerance=tolerance,
+                q, keep, is_vf,
+                toi_init=toi, ms=ms, tolerance=tolerance,
                 max_iterations=max_iterations,
                 allow_zero_toi=allow_zero_toi,
                 stack_capacity=stack_capacity,
             )
-        return jnp.minimum(toi, res.toi), None
+        return step + 1, jnp.minimum(toi, res.toi)
 
-    toi, _ = jax.lax.scan(body, toi_in, jnp.arange(n_steps, dtype=jnp.int32))
+    _, toi = jax.lax.while_loop(cond, body, (jnp.int32(0), toi_in))
+
     if axis_name is not None:
         toi = jax.lax.pmin(toi, axis_name)
-    return toi, total, total > capacity
+        n_pairs = jax.lax.psum(n_pairs, axis_name)
+        overflow = jax.lax.pmax(overflow, axis_name)
+    return toi, n_pairs, overflow
 
 
 def fused_ccd_core(
@@ -160,10 +227,20 @@ def fused_ccd_core(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 1 << 16,
+    sweep_batch: int = 1 << 20,
+    max_sweep_steps: int = 256,
     axis_name: Optional[str] = None,
     solver: str = "bfs",
 ) -> FusedCCDResult:
-    """Trace-through core; see :func:`fused_ccd` for the jitted entry."""
+    """Trace-through core; see :func:`fused_ccd` for the jitted entry.
+
+    ``vf_budget`` / ``ee_budget`` bound the *surviving* candidate pairs per
+    phase (per shard when sharded) — the analogue of the reference's
+    ``MAX_OVERLAP_SIZE`` (``memory_handler.hpp:11``).  ``sweep_batch`` and
+    ``max_sweep_steps`` bound the pre-filter slot space enumeration
+    (``MAX_OVERLAP_CUTOFF``-like); both loops exit early once the true totals
+    are consumed, so oversized budgets cost compile-time shapes, not runtime.
+    """
     vb = build_vertex_boxes(
         vertices_t0, vertices_t1, inflation_radius=min_distance, dtype=dtype
     )
@@ -182,17 +259,20 @@ def fused_ccd_core(
         max_iterations=max_iterations,
         allow_zero_toi=allow_zero_toi,
         stack_capacity=stack_capacity,
+        sweep_batch=sweep_batch,
+        max_sweep_steps=max_sweep_steps,
         dtype=dtype,
         axis_name=axis_name,
         solver=solver,
     )
-    batch = min(narrow_batch, max(vf_budget, ee_budget))
     toi0 = jnp.asarray(1.0, dtype)
     toi1, vf_total, vf_over = _phase(
-        vf_sorted, True, vf_budget, batch, toi_in=toi0, **common
+        vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
+        toi_in=toi0, **common,
     )
     toi2, ee_total, ee_over = _phase(
-        ee_sorted, False, ee_budget, batch, toi_in=toi1, **common
+        ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
+        toi_in=toi1, **common,
     )
     return FusedCCDResult(
         toi=toi2, overflowed=vf_over | ee_over, vf_total=vf_total, ee_total=ee_total
@@ -209,6 +289,8 @@ def fused_ccd_core(
         "dtype",
         "stack_capacity",
         "narrow_batch",
+        "sweep_batch",
+        "max_sweep_steps",
         "solver",
     ),
 )
@@ -217,8 +299,8 @@ def fused_ccd(
     vertices_t1,
     edges,
     faces,
-    vf_budget: int = 1 << 16,
-    ee_budget: int = 1 << 16,
+    vf_budget: int = 1 << 20,
+    ee_budget: int = 1 << 20,
     min_distance=0.0,
     tolerance=1e-6,
     max_iterations: int = -1,
@@ -226,6 +308,8 @@ def fused_ccd(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 1 << 16,
+    sweep_batch: int = 1 << 20,
+    max_sweep_steps: int = 256,
     solver: str = "bfs",
 ) -> FusedCCDResult:
     """Single-chip fused CCD: one dispatch for the whole two-frame query.
@@ -248,6 +332,8 @@ def fused_ccd(
         dtype=dtype,
         stack_capacity=stack_capacity,
         narrow_batch=narrow_batch,
+        sweep_batch=sweep_batch,
+        max_sweep_steps=max_sweep_steps,
         axis_name=None,
         solver=solver,
     )
