@@ -1,35 +1,42 @@
-"""Level-synchronous frontier root finder — the TPU fast path.
+"""FIFO ring-buffer root finder — the TPU fast path.
 
-This is the direct TPU-native analogue of the reference's narrow-phase BFS
-(``root_finder.cu:431-447``): the CUDA version keeps a global ring buffer of
-(t,u,v) domains and launches one thread per domain per level, giving perfect
-load balance across queries; the TPU version keeps a **dense frontier** of
-domains as structure-of-arrays and advances all of them one bisection level
-per ``lax.while_loop`` round:
+This is the direct TPU-native analogue of the reference's narrow-phase work
+queue (``ccd_buffer.cuh:7-83`` + the BFS driver loop
+``root_finder.cu:431-447``): the CUDA version keeps a global ring buffer of
+(t,u,v) domains, launches one thread per domain per level, and advances the
+ring head with ``shift_queue_start``; the TPU version keeps the same ring as
+dense structure-of-arrays and pops a fixed-size **tile** of domains per
+``lax.while_loop`` round:
 
-    evaluate all domains -> accept/prune/split decisions -> children are
-    compacted to the front of the next frontier with an exclusive prefix sum
-    (the functional replacement for ``atomicInc`` queue pushes,
-    ``ccd_buffer.cuh:25-34``) -> repeat until the frontier drains.
+    pop TILE domains at the head -> evaluate the 8-corner inclusion test on
+    all of them (one dense vectorized batch) -> accept / prune / split ->
+    children are appended at the tail via a cumsum + modular scatter (the
+    functional replacement for ``atomicInc`` pushes) -> repeat until empty.
 
-Round count is bounded by the bisection depth (each domain's depth grows by
-one per round; ~25 splits per dimension at f32), NOT by the per-query work
-count — unlike the companion depth-first solver
-(:func:`scalable_ccd_tpu.narrow_phase.root_finder.find_roots`, which is kept
-as the exact-order oracle twin), no lane waits for a pathological neighbor.
+Properties:
+
+- Work is proportional to the number of domains actually evaluated (the
+  reference's ``nbr_checks`` metric), NOT to queue capacity and NOT to the
+  worst query's work — no lane waits for a pathological neighbor (unlike the
+  companion depth-first solver
+  :func:`scalable_ccd_tpu.narrow_phase.root_finder.find_roots`, which is
+  kept as the exact-order oracle twin).
+- Capacity (``frontier_capacity``) is decoupled from the BFS level width, so
+  deep or bushy searches don't spill at level boundaries; it is the analogue
+  of the reference's ``MAX_UNIT_SIZE`` (``memory_handler.cpp:81-122``).
 
 Differences from the CUDA design, by construction:
 
 - ``atomicMin(toi)`` becomes a scatter-min into the per-query TOI array plus
   a global ``jnp.min`` folded into every round's prune bound.
-- Buffer overflow does not re-run with a rebalanced buffer
+- Ring overflow does not re-run with a rebalanced buffer
   (``narrow_phase.cu:146-195``); domains that do not fit are *conservatively
   accepted* (their earliest time is reported as a hit), which can only make
   the reported TOI earlier — never a missed collision.  The same applies to
-  domains still alive at the round cap.
+  domains still alive at the round cap.  Overflows are reported per query.
 - ``max_iterations`` counts per-query domain evaluations like the
-  reference's ``nbr_checks`` (``root_finder.cu:289``), but accumulated
-  per level; the reference's increment is racy across threads anyway.
+  reference's ``nbr_checks`` (``root_finder.cu:289``), accumulated per
+  round; the reference's increment is racy across threads anyway.
 """
 
 from __future__ import annotations
@@ -57,6 +64,7 @@ __all__ = ["find_roots_bfs"]
         "allow_zero_toi",
         "toi_per_query",
         "frontier_capacity",
+        "tile",
         "max_rounds",
     ),
 )
@@ -71,18 +79,20 @@ def find_roots_bfs(
     allow_zero_toi: bool = True,
     toi_per_query: bool = False,
     frontier_capacity: int = 0,
-    max_rounds: int = 160,
+    tile: int = 0,
+    max_rounds: int = 1 << 14,
 ) -> RootFinderResult:
-    """Batched earliest-TOI solve, frontier formulation.
+    """Batched earliest-TOI solve, FIFO ring formulation.
 
     Same contract as :func:`find_roots`; ``frontier_capacity`` (default
-    ``4 * Q``) is the domain buffer size — the analogue of the reference's
-    ``MAX_UNIT_SIZE`` (``memory_handler.cpp:81-122``).
+    ``8 * Q``) is the ring size, ``tile`` (default ``min(Q, 16384)``) the
+    number of domains evaluated per round.
     """
     dt = queries.p0s.dtype
     Q = queries.n
-    F = frontier_capacity if frontier_capacity > 0 else 4 * Q
-    assert F >= Q, "frontier must hold one root domain per query"
+    F = frontier_capacity if frontier_capacity > 0 else 8 * Q
+    T = tile if tile > 0 else min(max(Q, 256), 16384)
+    assert F >= Q, "ring must hold one root domain per query"
 
     ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
     err = jnp.where(
@@ -95,39 +105,33 @@ def find_roots_bfs(
     inf = jnp.asarray(jnp.inf, dt)
     one_over_1meps = jnp.asarray(1.0, dt) / (jnp.asarray(1.0, dt) - jnp.finfo(dt).eps)
 
-    pad = F - Q
-    dom_lo = jnp.concatenate([jnp.zeros((Q, 3), dt), jnp.zeros((pad, 3), dt)])
-    dom_hi = jnp.concatenate([jnp.ones((Q, 3), dt), jnp.zeros((pad, 3), dt)])
-    qid = jnp.concatenate(
-        [jnp.arange(Q, dtype=jnp.int32), jnp.zeros((pad,), jnp.int32)]
-    )
-    # invalid queries: empty (lo==hi==0) domains are dropped by the pruning
-    # below because their min_t is forced to +inf
-    root_live = valid
+    # ring initialization: live root domains compacted to the front
+    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
     count = jnp.sum(valid, dtype=jnp.int32)
-    # compact the live roots to the front
-    order = jnp.argsort(~root_live, stable=True)
-    dom_lo = dom_lo.at[:Q].set(dom_lo[:Q][order])
-    dom_hi = dom_hi.at[:Q].set(dom_hi[:Q][order])
-    qid = qid.at[:Q].set(qid[:Q][order])
+    pad = F - Q
+    dom_lo = jnp.zeros((F, 3), dt)
+    dom_hi = jnp.concatenate([jnp.ones((Q, 3), dt), jnp.zeros((pad, 3), dt)])
+    qid = jnp.concatenate([order, jnp.zeros((pad,), jnp.int32)])
 
     toi_pq = jnp.full((Q,), inf)
     checks = jnp.zeros((Q,), jnp.int32)
     overflow = jnp.zeros((Q,), bool)
     toi_g = jnp.asarray(toi_init, dt)
-    slot = jnp.arange(F, dtype=jnp.int32)
+    lane = jnp.arange(T, dtype=jnp.int32)
 
     def cond(state):
-        _, _, _, count, _, _, _, _, rounds = state
+        _, _, _, _, count, _, _, _, _, rounds = state
         return (count > 0) & (rounds < max_rounds)
 
     def body(state):
-        dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks, overflow, rounds = state
+        dom_lo, dom_hi, qid, head, count, toi_pq, toi_g, checks, overflow, rounds = state
 
-        active = slot < count
-        q_lo = dom_lo
-        q_hi = dom_hi
-        qq = qid
+        m = jnp.minimum(count, jnp.int32(T))
+        active = lane < m
+        idx = jax.lax.rem(head + lane, jnp.int32(F))
+        q_lo = dom_lo[idx]  # (T, 3)
+        q_hi = dom_hi[idx]
+        qq = qid[idx]
 
         # gather per-domain query data
         g = lambda a: a[qq]
@@ -177,11 +181,12 @@ def find_roots_bfs(
             push2 = jnp.where(split == 0, mid <= bound, True)
         push2 = push2 & do_split
 
-        # children placement via exclusive prefix sum (compaction)
+        # children appended at the tail via exclusive prefix sum + mod scatter
         n_child = do_split.astype(jnp.int32) + push2.astype(jnp.int32)
         ends = jnp.cumsum(n_child)
         starts = ends - n_child
-        fits = do_split & (ends <= F)
+        space = jnp.int32(F) - (count - m)  # free slots once the tile is popped
+        fits = do_split & (ends <= space)
         spilled = do_split & ~fits
         overflow = overflow.at[qq].max(spilled)
         # conservative accept for spilled domains
@@ -196,37 +201,40 @@ def find_roots_bfs(
         lo2 = jnp.where(onehot, mid[:, None], q_lo)  # child2 lower
         hi1 = jnp.where(onehot, mid[:, None], q_hi)  # child1 upper
 
-        idx1 = jnp.where(do_split2, starts, F)
-        idx2 = jnp.where(push2, starts + 1, F)
-        new_lo = jnp.zeros_like(dom_lo)
-        new_hi = jnp.zeros_like(dom_hi)
-        new_qid = jnp.zeros_like(qid)
-        new_lo = new_lo.at[idx1].set(q_lo, mode="drop")
-        new_hi = new_hi.at[idx1].set(hi1, mode="drop")
-        new_qid = new_qid.at[idx1].set(qq, mode="drop")
-        new_lo = new_lo.at[idx2].set(lo2, mode="drop")
-        new_hi = new_hi.at[idx2].set(q_hi, mode="drop")
-        new_qid = new_qid.at[idx2].set(qq, mode="drop")
-        new_count = jnp.minimum(
-            jnp.where(count > 0, ends[count - 1], 0), jnp.int32(F)
-        )
+        tail = head + count  # un-wrapped; rem applied per write
+        idx1 = jax.lax.rem(tail + starts, jnp.int32(F))
+        idx2 = jax.lax.rem(tail + starts + 1, jnp.int32(F))
+        idx1 = jnp.where(do_split2, idx1, jnp.int32(F))  # OOB -> dropped
+        idx2 = jnp.where(push2, idx2, jnp.int32(F))
+        dom_lo = dom_lo.at[idx1].set(q_lo, mode="drop")
+        dom_hi = dom_hi.at[idx1].set(hi1, mode="drop")
+        qid = qid.at[idx1].set(qq, mode="drop")
+        dom_lo = dom_lo.at[idx2].set(lo2, mode="drop")
+        dom_hi = dom_hi.at[idx2].set(q_hi, mode="drop")
+        qid = qid.at[idx2].set(qq, mode="drop")
+
+        n_new = jnp.where(m > 0, ends[m - 1], 0)
+        n_new = jnp.minimum(n_new, space)
+        head = jax.lax.rem(head + m, jnp.int32(F))
+        count = count - m + n_new
 
         return (
-            new_lo, new_hi, new_qid, new_count,
+            dom_lo, dom_hi, qid, head, count,
             toi_pq, toi_g, checks, overflow, rounds + 1,
         )
 
     state = (
-        dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks, overflow,
-        jnp.int32(0),
+        dom_lo, dom_hi, qid, jnp.int32(0), count,
+        toi_pq, toi_g, checks, overflow, jnp.int32(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    dom_lo, _, qid_f, count, toi_pq, toi_g, checks, overflow, _ = state
+    dom_lo, _, qid_f, head, count, toi_pq, toi_g, checks, overflow, _ = state
 
     # round-cap leftovers: conservative accept of whatever is still alive
-    leftover = slot < count
-    toi_pq = toi_pq.at[qid_f].min(jnp.where(leftover, dom_lo[:, 0], inf))
-    overflow = overflow.at[qid_f].max(leftover)
+    slot = jnp.arange(F, dtype=jnp.int32)
+    live_ring = jax.lax.rem(slot - head + 2 * jnp.int32(F), jnp.int32(F)) < count
+    toi_pq = toi_pq.at[qid_f].min(jnp.where(live_ring, dom_lo[:, 0], inf))
+    overflow = overflow.at[qid_f].max(live_ring)
 
     toi_out = jnp.minimum(jnp.asarray(toi_init, dt), jnp.min(toi_pq, initial=inf))
     return RootFinderResult(

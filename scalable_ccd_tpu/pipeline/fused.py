@@ -192,7 +192,6 @@ def _phase(
                 toi_init=toi, ms=ms, tolerance=tolerance,
                 max_iterations=max_iterations,
                 allow_zero_toi=allow_zero_toi,
-                frontier_capacity=4 * batch,
             )
         else:
             res = find_roots(
