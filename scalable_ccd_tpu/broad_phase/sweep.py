@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scalable_ccd_tpu.geometry.aabb import AABBs
+from scalable_ccd_tpu.ops import compact_rows, searchsorted_sorted
 from scalable_ccd_tpu.utils.logging import logger
 
 __all__ = [
@@ -193,13 +194,18 @@ def decode_pair_slots(
     i = box_start + searchsorted(offsets, p, 'right') and
     j = i + 1 + (p - exclusive_offset(i)).
 
+    ``slots`` must be ascending (every caller enumerates consecutive slots),
+    which admits the merge-based :func:`searchsorted_sorted` — one sort
+    instead of ``method='sort'``'s sort + unsorting scatter (scatters are
+    ~40 ns/row on TPU).
+
     Returns ``(first, second, keep)``: element-id pairs in the reference's
     emit convention and the surviving-pair mask.
     """
     in_range = slots < n_pairs
     p_c = jnp.minimum(slots, jnp.maximum(n_pairs - 1, 0))
 
-    local_i = jnp.searchsorted(offsets, p_c, side="right", method="sort").astype(jnp.int32)
+    local_i = searchsorted_sorted(offsets, p_c, side="right").astype(jnp.int32)
     excl = jnp.where(local_i > 0, offsets[jnp.maximum(local_i - 1, 0)], 0)
     i = box_start + local_i
     j = i + 1 + (p_c - excl)
@@ -239,16 +245,14 @@ def enumerate_pairs_chunk(
         sorted_boxes, box_start, offsets, slots, n_pairs, is_two_lists
     )
 
-    # Compact survivors to the front: stable argsort on the inverted mask.
-    order = jnp.argsort(~keep, stable=True)
-    count = jnp.sum(keep, dtype=jnp.int32)
+    # Compact survivors to the front (sort-based; scatters are slow on TPU).
     sentinel = jnp.int32(-(2**31) + 1)
-    pairs = jnp.stack(
-        [
-            jnp.where(keep, first, sentinel)[order],
-            jnp.where(keep, second, sentinel)[order],
-        ],
-        axis=1,
+    count, pairs = compact_rows(
+        keep,
+        jnp.stack(
+            [jnp.where(keep, first, sentinel), jnp.where(keep, second, sentinel)],
+            axis=1,
+        ),
     )
     return pairs, count
 

@@ -1,42 +1,44 @@
-"""FIFO ring-buffer root finder — the TPU fast path.
+"""Queue-based root finder — the TPU fast path.
 
 This is the direct TPU-native analogue of the reference's narrow-phase work
 queue (``ccd_buffer.cuh:7-83`` + the BFS driver loop
 ``root_finder.cu:431-447``): the CUDA version keeps a global ring buffer of
 (t,u,v) domains, launches one thread per domain per level, and advances the
-ring head with ``shift_queue_start``; the TPU version keeps the same ring as
-dense structure-of-arrays and pops a fixed-size **tile** of domains per
-``lax.while_loop`` round:
+ring head with ``shift_queue_start``; the TPU version keeps a **front-aligned
+dense queue** as structure-of-arrays and pops a fixed-size **tile** of
+domains per ``lax.while_loop`` round:
 
-    pop TILE domains at the head -> evaluate the 8-corner inclusion test on
-    all of them (one dense vectorized batch) -> accept / prune / split ->
-    children are appended at the tail via a cumsum + modular scatter (the
-    functional replacement for ``atomicInc`` pushes) -> repeat until empty.
+    pop the first TILE rows (a static slice — no gather) -> evaluate the
+    8-corner inclusion test on the whole tile -> accept / prune / split ->
+    surviving children are stable-sort-compacted and appended after the
+    unpopped remainder with one contiguous dynamic-update-slice -> repeat
+    until the queue drains.
 
-Properties:
+No scatters touch the queue: XLA lowers general scatters to ~40 ns/row on
+TPU (serialized), while multi-operand sorts and contiguous copies run at
+full throughput — see ``scalable_ccd_tpu/ops``.  Work is proportional to the
+number of domains actually evaluated (the reference's ``nbr_checks``
+metric), NOT to queue capacity and NOT to the worst query's work — no lane
+waits for a pathological neighbor (unlike the companion depth-first solver
+:func:`scalable_ccd_tpu.narrow_phase.root_finder.find_roots`, kept as the
+exact-order oracle twin).
 
-- Work is proportional to the number of domains actually evaluated (the
-  reference's ``nbr_checks`` metric), NOT to queue capacity and NOT to the
-  worst query's work — no lane waits for a pathological neighbor (unlike the
-  companion depth-first solver
-  :func:`scalable_ccd_tpu.narrow_phase.root_finder.find_roots`, which is
-  kept as the exact-order oracle twin).
-- Capacity (``frontier_capacity``) is decoupled from the BFS level width, so
-  deep or bushy searches don't spill at level boundaries; it is the analogue
-  of the reference's ``MAX_UNIT_SIZE`` (``memory_handler.cpp:81-122``).
+Two statically-selected modes:
 
-Differences from the CUDA design, by construction:
+- **global mode** (``toi_per_query=False``, ``max_iterations<0``): entirely
+  scatter-free; queries are pruned against the running global TOI (the
+  reference's default build, where ``atomicMin(toi)`` is visible to every
+  thread, ``root_finder.cu:295,323``).  ``per_query_toi`` degrades to the
+  global lower-bound certificate and ``overflow`` to a broadcast flag.
+- **exact mode** (``toi_per_query=True`` or a finite ``max_iterations``):
+  per-query TOI / check-count arrays are maintained with small scatters —
+  the reference's ``SCALABLE_CCD_TOI_PER_QUERY`` build.
 
-- ``atomicMin(toi)`` becomes a scatter-min into the per-query TOI array plus
-  a global ``jnp.min`` folded into every round's prune bound.
-- Ring overflow does not re-run with a rebalanced buffer
-  (``narrow_phase.cu:146-195``); domains that do not fit are *conservatively
-  accepted* (their earliest time is reported as a hit), which can only make
-  the reported TOI earlier — never a missed collision.  The same applies to
-  domains still alive at the round cap.  Overflows are reported per query.
-- ``max_iterations`` counts per-query domain evaluations like the
-  reference's ``nbr_checks`` (``root_finder.cu:289``), accumulated per
-  round; the reference's increment is racy across threads anyway.
+Overflow protocol: domains that do not fit the queue are *conservatively
+accepted* (their earliest time is reported as a hit), which can only make
+the reported TOI earlier — never a missed collision.  The same applies to
+domains still alive at the round cap.  (The reference instead re-runs the
+chunk after rebalancing, ``narrow_phase.cu:146-195``.)
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ from scalable_ccd_tpu.narrow_phase.types import (
     compute_tolerance,
     numerical_error_bound,
 )
+from scalable_ccd_tpu.ops import compact_rows
 
 __all__ = ["find_roots_bfs"]
 
@@ -82,17 +85,20 @@ def find_roots_bfs(
     tile: int = 0,
     max_rounds: int = 1 << 14,
 ) -> RootFinderResult:
-    """Batched earliest-TOI solve, FIFO ring formulation.
+    """Batched earliest-TOI solve, queue formulation.
 
     Same contract as :func:`find_roots`; ``frontier_capacity`` (default
-    ``8 * Q``) is the ring size, ``tile`` (default ``min(Q, 16384)``) the
-    number of domains evaluated per round.
+    ``8 * Q``) is the queue size — the analogue of the reference's
+    ``MAX_UNIT_SIZE`` (``memory_handler.cpp:81-122``) — and ``tile``
+    (default ``min(max(Q, 256), 65536)``) the domains evaluated per round.
     """
     dt = queries.p0s.dtype
     Q = queries.n
     F = frontier_capacity if frontier_capacity > 0 else 8 * Q
-    T = tile if tile > 0 else min(max(Q, 256), 16384)
-    assert F >= Q, "ring must hold one root domain per query"
+    T = tile if tile > 0 else min(max(Q, 256), 1 << 16)
+    T = min(T, F)
+    assert F >= Q, "queue must hold one root domain per query"
+    exact = toi_per_query or max_iterations >= 0
 
     ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
     err = jnp.where(
@@ -105,35 +111,36 @@ def find_roots_bfs(
     inf = jnp.asarray(jnp.inf, dt)
     one_over_1meps = jnp.asarray(1.0, dt) / (jnp.asarray(1.0, dt) - jnp.finfo(dt).eps)
 
-    # ring initialization: live root domains compacted to the front
-    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
-    count = jnp.sum(valid, dtype=jnp.int32)
-    pad = F - Q
-    dom_lo = jnp.zeros((F, 3), dt)
+    # queue: (F + 2T, ...) with 2T slack rows so child blocks always append
+    # with an unclamped dynamic-update-slice; live rows are [0, count).
+    pad = F + 2 * T - Q
+    count, qid0 = compact_rows(valid, jnp.arange(Q, dtype=jnp.int32))
+    dom_lo = jnp.zeros((F + 2 * T, 3), dt)
     dom_hi = jnp.concatenate([jnp.ones((Q, 3), dt), jnp.zeros((pad, 3), dt)])
-    qid = jnp.concatenate([order, jnp.zeros((pad,), jnp.int32)])
+    qid = jnp.concatenate([qid0, jnp.zeros((pad,), jnp.int32)])
 
     toi_pq = jnp.full((Q,), inf)
     checks = jnp.zeros((Q,), jnp.int32)
-    overflow = jnp.zeros((Q,), bool)
+    overflow_pq = jnp.zeros((Q,), bool)
+    overflow_g = jnp.zeros((), bool)
     toi_g = jnp.asarray(toi_init, dt)
     lane = jnp.arange(T, dtype=jnp.int32)
 
     def cond(state):
-        _, _, _, _, count, _, _, _, _, rounds = state
+        count = state[3]
+        rounds = state[-1]
         return (count > 0) & (rounds < max_rounds)
 
     def body(state):
-        dom_lo, dom_hi, qid, head, count, toi_pq, toi_g, checks, overflow, rounds = state
+        (dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks,
+         overflow_pq, overflow_g, rounds) = state
 
         m = jnp.minimum(count, jnp.int32(T))
         active = lane < m
-        idx = jax.lax.rem(head + lane, jnp.int32(F))
-        q_lo = dom_lo[idx]  # (T, 3)
-        q_hi = dom_hi[idx]
-        qq = qid[idx]
+        q_lo = dom_lo[:T]  # static slice — the popped tile
+        q_hi = dom_hi[:T]
+        qq = qid[:T]
 
-        # gather per-domain query data
         g = lambda a: a[qq]
         dq = CCDQueries(
             p0s=g(queries.p0s), p1s=g(queries.p1s),
@@ -145,13 +152,14 @@ def find_roots_bfs(
         d_err = err[qq]
         d_ms = ms_arr[qq]
 
-        checks = checks.at[qq].add(active.astype(jnp.int32))
+        if exact:
+            checks = checks.at[qq].add(active.astype(jnp.int32))
 
         min_t = q_lo[:, 0]
         if toi_per_query:
             bound = toi_pq[qq]
         else:
-            bound = jnp.minimum(toi_pq[qq], toi_g)
+            bound = toi_g
         live = active & (min_t < bound)
         if max_iterations >= 0:
             live = live & (checks[qq] <= max_iterations)
@@ -181,62 +189,70 @@ def find_roots_bfs(
             push2 = jnp.where(split == 0, mid <= bound, True)
         push2 = push2 & do_split
 
-        # children appended at the tail via exclusive prefix sum + mod scatter
+        # capacity check per popped lane (children must fit the free space)
         n_child = do_split.astype(jnp.int32) + push2.astype(jnp.int32)
         ends = jnp.cumsum(n_child)
-        starts = ends - n_child
-        space = jnp.int32(F) - (count - m)  # free slots once the tile is popped
-        fits = do_split & (ends <= space)
+        space = jnp.int32(F) - (count - m)
+        fits = ends <= space
         spilled = do_split & ~fits
-        overflow = overflow.at[qq].max(spilled)
-        # conservative accept for spilled domains
-        accept = accept | spilled
-        do_split2 = fits
+        accept = accept | spilled  # conservative accept
+        do_split = do_split & fits
         push2 = push2 & fits
-
-        toi_pq = toi_pq.at[qq].min(jnp.where(accept, min_t, inf))
+        if exact:
+            overflow_pq = overflow_pq.at[qq].max(spilled)
+            toi_pq = toi_pq.at[qq].min(jnp.where(accept, min_t, inf))
+        overflow_g = overflow_g | jnp.any(spilled)
         toi_g = jnp.minimum(toi_g, jnp.min(jnp.where(accept, min_t, inf)))
 
         onehot = split[:, None] == jnp.arange(3)[None, :]
         lo2 = jnp.where(onehot, mid[:, None], q_lo)  # child2 lower
         hi1 = jnp.where(onehot, mid[:, None], q_hi)  # child1 upper
 
-        tail = head + count  # un-wrapped; rem applied per write
-        idx1 = jax.lax.rem(tail + starts, jnp.int32(F))
-        idx2 = jax.lax.rem(tail + starts + 1, jnp.int32(F))
-        idx1 = jnp.where(do_split2, idx1, jnp.int32(F))  # OOB -> dropped
-        idx2 = jnp.where(push2, idx2, jnp.int32(F))
-        dom_lo = dom_lo.at[idx1].set(q_lo, mode="drop")
-        dom_hi = dom_hi.at[idx1].set(hi1, mode="drop")
-        qid = qid.at[idx1].set(qq, mode="drop")
-        dom_lo = dom_lo.at[idx2].set(lo2, mode="drop")
-        dom_hi = dom_hi.at[idx2].set(q_hi, mode="drop")
-        qid = qid.at[idx2].set(qq, mode="drop")
+        # interleave (child1, child2) per lane, compact, append after the
+        # unpopped remainder — sort + two contiguous copies, no scatter
+        c_keep = jnp.stack([do_split, push2], axis=1).reshape(-1)
+        c_lo = jnp.stack([q_lo, lo2], axis=1).reshape(-1, 3)
+        c_hi = jnp.stack([hi1, q_hi], axis=1).reshape(-1, 3)
+        c_qid = jnp.stack([qq, qq], axis=1).reshape(-1)
+        n_new, b_lo, b_hi, b_qid = compact_rows(c_keep, c_lo, c_hi, c_qid)
 
-        n_new = jnp.where(m > 0, ends[m - 1], 0)
-        n_new = jnp.minimum(n_new, space)
-        head = jax.lax.rem(head + m, jnp.int32(F))
-        count = count - m + n_new
+        z = jnp.zeros((T, 3), dt)
+        dom_lo = jnp.concatenate([dom_lo[T:], z])
+        dom_hi = jnp.concatenate([dom_hi[T:], z])
+        qid = jnp.concatenate([qid[T:], jnp.zeros((T,), jnp.int32)])
+        at = count - m
+        dom_lo = jax.lax.dynamic_update_slice_in_dim(dom_lo, b_lo, at, axis=0)
+        dom_hi = jax.lax.dynamic_update_slice_in_dim(dom_hi, b_hi, at, axis=0)
+        qid = jax.lax.dynamic_update_slice_in_dim(qid, b_qid, at, axis=0)
+        count = at + n_new
 
-        return (
-            dom_lo, dom_hi, qid, head, count,
-            toi_pq, toi_g, checks, overflow, rounds + 1,
-        )
+        return (dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks,
+                overflow_pq, overflow_g, rounds + 1)
 
-    state = (
-        dom_lo, dom_hi, qid, jnp.int32(0), count,
-        toi_pq, toi_g, checks, overflow, jnp.int32(0),
-    )
+    state = (dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks,
+             overflow_pq, overflow_g, jnp.int32(0))
     state = jax.lax.while_loop(cond, body, state)
-    dom_lo, _, qid_f, head, count, toi_pq, toi_g, checks, overflow, _ = state
+    (dom_lo, _, qid_f, count, toi_pq, toi_g, checks,
+     overflow_pq, overflow_g, _) = state
 
     # round-cap leftovers: conservative accept of whatever is still alive
-    slot = jnp.arange(F, dtype=jnp.int32)
-    live_ring = jax.lax.rem(slot - head + 2 * jnp.int32(F), jnp.int32(F)) < count
-    toi_pq = toi_pq.at[qid_f].min(jnp.where(live_ring, dom_lo[:, 0], inf))
-    overflow = overflow.at[qid_f].max(live_ring)
+    leftover = jnp.arange(F + 2 * T, dtype=jnp.int32) < count
+    lo_t = jnp.where(leftover, dom_lo[:, 0], inf)
+    toi_g = jnp.minimum(toi_g, jnp.min(lo_t))
+    overflow_g = overflow_g | (count > 0)
+    if exact:
+        toi_pq = toi_pq.at[qid_f].min(lo_t)
+        overflow_pq = overflow_pq.at[qid_f].max(leftover)
 
-    toi_out = jnp.minimum(jnp.asarray(toi_init, dt), jnp.min(toi_pq, initial=inf))
+    toi_out = jnp.minimum(jnp.asarray(toi_init, dt), toi_g)
+    if exact:
+        toi_out = jnp.minimum(toi_out, jnp.min(toi_pq, initial=inf))
+        overflow_out = overflow_pq
+    else:
+        # global mode: per-query TOI degrades to the global lower-bound
+        # certificate (documented in RootFinderResult); inf where invalid
+        toi_pq = jnp.where(valid, toi_out, inf)
+        overflow_out = jnp.broadcast_to(overflow_g, (Q,)) & valid
     return RootFinderResult(
-        toi=toi_out, per_query_toi=toi_pq, checks=checks, overflow=overflow
+        toi=toi_out, per_query_toi=toi_pq, checks=checks, overflow=overflow_out
     )

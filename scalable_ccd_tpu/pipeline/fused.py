@@ -59,6 +59,7 @@ from scalable_ccd_tpu.narrow_phase import (
     gather_ee_queries,
     gather_vf_queries,
 )
+from scalable_ccd_tpu.ops import compact_rows
 
 __all__ = ["FusedCCDResult", "fused_ccd", "fused_ccd_core"]
 
@@ -83,6 +84,7 @@ def _sweep_compact(
     sweep_batch: int,
     max_sweep_steps: int,
     axis_name: Optional[str],
+    slack: int = 0,
 ):
     """Filter + compact the major-axis slot space into a dense pair buffer.
 
@@ -104,7 +106,12 @@ def _sweep_compact(
         my_total = jnp.minimum(per, jnp.maximum(total - base, 0))
 
     lane = jnp.arange(sweep_batch, dtype=jnp.int32)
-    pairs0 = jnp.full((pair_budget, 2), jnp.int32(-(2**31) + 1))
+    # slack: a full batch is always written contiguously at the write
+    # pointer (rows past the kept prefix are overwritten by later batches);
+    # also covers downstream dynamic slices so they never clamp.
+    pairs0 = jnp.full(
+        (pair_budget + max(sweep_batch, slack), 2), jnp.int32(-(2**31) + 1)
+    )
 
     def cond(st):
         step, _, _, _ = st
@@ -117,14 +124,12 @@ def _sweep_compact(
             sorted_boxes, jnp.int32(0), offsets, slots, base + my_total,
             is_two_lists=is_vf,
         )
-        keep = keep & (slots >= base)
-        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        dst = jnp.where(keep, wp + pos, pair_budget)  # OOB rows dropped
-        pairs = pairs.at[dst].set(
-            jnp.stack([first, second], axis=1), mode="drop"
-        )
-        nkeep = jnp.sum(keep, dtype=jnp.int32)
+        # compact survivors and append the whole block at the write pointer
+        # (sort + contiguous copy; scatters are ~40 ns/row on TPU)
+        nkeep, block = compact_rows(keep, jnp.stack([first, second], axis=1))
         of = of | (wp + nkeep > pair_budget)
+        wp_c = jnp.minimum(wp, jnp.int32(pair_budget))  # slack keeps writes legal
+        pairs = jax.lax.dynamic_update_slice_in_dim(pairs, block, wp_c, axis=0)
         wp = jnp.minimum(wp + nkeep, jnp.int32(pair_budget))
         return step + 1, wp, pairs, of
 
@@ -166,9 +171,9 @@ def _phase(
     pairs, n_pairs, overflow = _sweep_compact(
         sorted_boxes, is_vf, offsets, total,
         pair_budget, sweep_batch, max_sweep_steps, axis_name,
+        slack=batch,
     )
 
-    n_steps = max(1, -(-pair_budget // batch))
     lane = jnp.arange(batch, dtype=jnp.int32)
 
     def cond(st):
