@@ -45,9 +45,11 @@ def main() -> None:
         jnp.asarray(scene.edges, jnp.int32),
         jnp.asarray(scene.faces, jnp.int32),
     )
+    # unbounded iterations select the scatter-free global fast mode; runtime
+    # is bounded by the solver's round cap (conservative accepts past it)
     kw = dict(
         vf_budget=VF_BUDGET, ee_budget=EE_BUDGET,
-        max_iterations=1 << 20, dtype=jnp.float32,
+        max_iterations=-1, dtype=jnp.float32,
     )
 
     res = fused_ccd(*args, **kw)  # compile + warm up
