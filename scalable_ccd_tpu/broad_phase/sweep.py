@@ -224,6 +224,63 @@ def decode_pair_slots(
     return first, second, keep
 
 
+def count_window_units(k: jax.Array, window: int) -> jax.Array:
+    """Work units per box: ``ceil(k_i / window)``.
+
+    A *unit* is one box paired against a window of ``window`` consecutive
+    sweep partners — the enumeration granularity of
+    :func:`decode_pair_units`.  Decomposing the pair-slot space into units
+    shrinks the per-chunk binary-search domain by ``window`` x while the
+    filter/compaction work stays proportional to true pair tests.
+    """
+    w = jnp.int32(window)
+    return (k + w - 1) // w
+
+
+def decode_pair_units(
+    sorted_boxes: SortedBoxes,
+    unit_offsets: jax.Array,
+    units: jax.Array,
+    n_units: jax.Array,
+    k: jax.Array,
+    window: int,
+    is_two_lists: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Map ascending work-unit ids to filtered element-id pairs.
+
+    ``unit_offsets`` is the inclusive prefix sum of
+    :func:`count_window_units`; unit u maps to box
+    ``i = searchsorted(unit_offsets, u, 'right')`` and window round
+    ``r = u - excl(i)``, covering partners ``j = i + 1 + r*window + [0, window)``
+    masked by ``r*window + w < k_i``.  Returns ``(first, second, keep)``
+    flattened to ``len(units) * window`` rows, in the reference's emit
+    convention (``sweep.cu:152-164``).
+    """
+    in_range = units < n_units
+    u_c = jnp.minimum(units, jnp.maximum(n_units - 1, 0))
+    i = searchsorted_sorted(unit_offsets, u_c, side="right").astype(jnp.int32)
+    excl = jnp.where(i > 0, unit_offsets[jnp.maximum(i - 1, 0)], 0)
+    r = u_c - excl
+    w_lane = jnp.arange(window, dtype=jnp.int32)[None, :]
+    i = jnp.minimum(i, sorted_boxes.n - 1)
+    part = r[:, None] * window + w_lane  # partner rank within the run
+    j = jnp.minimum(i[:, None] + 1 + part, sorted_boxes.n - 1)
+    valid = in_range[:, None] & (part < k[i][:, None])
+
+    i_flat = jnp.broadcast_to(i[:, None], j.shape).reshape(-1)
+    j_flat = j.reshape(-1)
+    keep, a_eid, b_eid = _pair_filters(sorted_boxes, i_flat, j_flat, is_two_lists)
+    keep = keep & valid.reshape(-1)
+
+    if is_two_lists:
+        first = flip_id(jnp.minimum(a_eid, b_eid))
+        second = jnp.maximum(a_eid, b_eid)
+    else:
+        first = jnp.minimum(a_eid, b_eid)
+        second = jnp.maximum(a_eid, b_eid)
+    return first, second, keep
+
+
 @functools.partial(jax.jit, static_argnames=("pair_chunk_size", "is_two_lists"))
 def enumerate_pairs_chunk(
     sorted_boxes: SortedBoxes,

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 
 from scalable_ccd_tpu.broad_phase.sweep import (
     count_major_runs,
-    decode_pair_slots,
+    count_window_units,
+    decode_pair_units,
     merge_two_lists,
     sort_boxes,
 )
@@ -78,50 +79,61 @@ class FusedCCDResult(NamedTuple):
 def _sweep_compact(
     sorted_boxes,
     is_vf: bool,
-    offsets,
-    total,
+    k,
     pair_budget: int,
     sweep_batch: int,
+    sweep_window: int,
     max_sweep_steps: int,
     axis_name: Optional[str],
     slack: int = 0,
 ):
-    """Filter + compact the major-axis slot space into a dense pair buffer.
+    """Filter + compact the major-axis pair space into a dense pair buffer.
 
-    Returns ``(pairs, n_pairs, overflow)``: an int32 ``(pair_budget, 2)``
-    buffer whose first ``n_pairs`` rows are surviving element-id pairs, and
-    an overflow flag set if either the slot space exceeded what
-    ``max_sweep_steps`` batches can enumerate or more than ``pair_budget``
-    survivors were found.
+    The pair space is enumerated as (box, window) **work units** of
+    ``sweep_window`` consecutive partners each (``count_window_units``), so
+    the per-chunk binary search runs over ~total_pairs / window units while
+    filters and compaction stay proportional to true pair tests.
+
+    Returns ``(pairs, n_pairs, overflow)``: an int32 buffer whose first
+    ``n_pairs`` rows are surviving element-id pairs, and an overflow flag
+    set if the unit space exceeded what ``max_sweep_steps`` batches can
+    enumerate or more than ``pair_budget`` survivors were found.
     """
+    W = sweep_window
+    units_per_step = max(1, sweep_batch // W)
+    ku = count_window_units(k, W)
+    unit_offsets = jnp.cumsum(ku, dtype=jnp.int32)
+    total_u = unit_offsets[-1]
+
     if axis_name is None:
         base = jnp.int32(0)
-        my_total = total
+        my_total = total_u
     else:
         idx = jax.lax.axis_index(axis_name)
         n_shards = jax.lax.axis_size(axis_name)
-        # contiguous slot ranges per shard (perfect static load balance)
-        per = (total + n_shards - 1) // n_shards
+        # contiguous unit ranges per shard (static load balance)
+        per = (total_u + n_shards - 1) // n_shards
         base = (idx * per).astype(jnp.int32)
-        my_total = jnp.minimum(per, jnp.maximum(total - base, 0))
+        my_total = jnp.minimum(per, jnp.maximum(total_u - base, 0))
 
-    lane = jnp.arange(sweep_batch, dtype=jnp.int32)
-    # slack: a full batch is always written contiguously at the write
-    # pointer (rows past the kept prefix are overwritten by later batches);
+    lane = jnp.arange(units_per_step, dtype=jnp.int32)
+    block_rows = units_per_step * W
+    # slack: a full block is always written contiguously at the write
+    # pointer (rows past the kept prefix are overwritten by later blocks);
     # also covers downstream dynamic slices so they never clamp.
     pairs0 = jnp.full(
-        (pair_budget + max(sweep_batch, slack), 2), jnp.int32(-(2**31) + 1)
+        (pair_budget + max(block_rows, slack), 2), jnp.int32(-(2**31) + 1)
     )
 
     def cond(st):
         step, _, _, _ = st
-        return (step * sweep_batch < my_total) & (step < max_sweep_steps)
+        return (step * units_per_step < my_total) & (step < max_sweep_steps)
 
     def body(st):
         step, wp, pairs, of = st
-        slots = base + step * sweep_batch + lane
-        first, second, keep = decode_pair_slots(
-            sorted_boxes, jnp.int32(0), offsets, slots, base + my_total,
+        units = base + step * units_per_step + lane
+        first, second, keep = decode_pair_units(
+            sorted_boxes, unit_offsets, units, base + my_total, k, W,
             is_two_lists=is_vf,
         )
         # compact survivors and append the whole block at the write pointer
@@ -136,8 +148,8 @@ def _sweep_compact(
     step, n_pairs, pairs, of = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), pairs0, jnp.zeros((), bool))
     )
-    # slot space bigger than the enumeration budget -> candidates missed
-    of = of | (step * sweep_batch < my_total)
+    # unit space bigger than the enumeration budget -> candidates missed
+    of = of | (step * units_per_step < my_total)
     return pairs, n_pairs, of
 
 
@@ -157,6 +169,7 @@ def _phase(
     allow_zero_toi: bool,
     stack_capacity: int,
     sweep_batch: int,
+    sweep_window: int,
     max_sweep_steps: int,
     dtype,
     axis_name: Optional[str],
@@ -165,12 +178,10 @@ def _phase(
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets."""
     n = sorted_boxes.n
     k = count_major_runs(sorted_boxes, jnp.int32(0), n)
-    offsets = jnp.cumsum(k, dtype=jnp.int32)
-    total = offsets[-1]
 
     pairs, n_pairs, overflow = _sweep_compact(
-        sorted_boxes, is_vf, offsets, total,
-        pair_budget, sweep_batch, max_sweep_steps, axis_name,
+        sorted_boxes, is_vf, k,
+        pair_budget, sweep_batch, sweep_window, max_sweep_steps, axis_name,
         slack=batch,
     )
 
@@ -232,6 +243,7 @@ def fused_ccd_core(
     stack_capacity: int = 96,
     narrow_batch: int = 1 << 16,
     sweep_batch: int = 1 << 20,
+    sweep_window: int = 64,
     max_sweep_steps: int = 256,
     axis_name: Optional[str] = None,
     solver: str = "bfs",
@@ -264,6 +276,7 @@ def fused_ccd_core(
         allow_zero_toi=allow_zero_toi,
         stack_capacity=stack_capacity,
         sweep_batch=sweep_batch,
+        sweep_window=sweep_window,
         max_sweep_steps=max_sweep_steps,
         dtype=dtype,
         axis_name=axis_name,
@@ -294,6 +307,7 @@ def fused_ccd_core(
         "stack_capacity",
         "narrow_batch",
         "sweep_batch",
+        "sweep_window",
         "max_sweep_steps",
         "solver",
     ),
@@ -313,6 +327,7 @@ def fused_ccd(
     stack_capacity: int = 96,
     narrow_batch: int = 1 << 16,
     sweep_batch: int = 1 << 20,
+    sweep_window: int = 64,
     max_sweep_steps: int = 256,
     solver: str = "bfs",
 ) -> FusedCCDResult:
@@ -337,6 +352,7 @@ def fused_ccd(
         stack_capacity=stack_capacity,
         narrow_batch=narrow_batch,
         sweep_batch=sweep_batch,
+        sweep_window=sweep_window,
         max_sweep_steps=max_sweep_steps,
         axis_name=None,
         solver=solver,
