@@ -224,6 +224,116 @@ def decode_pair_slots(
     return first, second, keep
 
 
+class PaddedBoxes(NamedTuple):
+    """Box arrays zero-padded past ``n`` so shifted reads never clamp.
+
+    Built once per phase by :func:`pad_boxes_for_shifts`; padding rows have
+    run length 0 and element/vertex ids that fail every filter.
+    """
+
+    minor_min: jax.Array  # (n + pad, 2)
+    minor_max: jax.Array
+    vertex_ids: jax.Array  # (n + pad, 3)
+    element_id: jax.Array  # (n + pad,)
+    n: int  # real box count
+
+
+def pad_boxes_for_shifts(
+    sorted_boxes: SortedBoxes, shift_cap: int, window: int, box_tile: int
+) -> PaddedBoxes:
+    """Zero-pad the partner-side arrays for :func:`shifted_pair_filters`."""
+    pad = shift_cap + window + box_tile + 1
+
+    def padded(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+        )
+
+    big = jnp.finfo(sorted_boxes.minor_min.dtype).max / 8
+    return PaddedBoxes(
+        minor_min=padded(sorted_boxes.minor_min, big),
+        minor_max=padded(sorted_boxes.minor_max, -big),
+        vertex_ids=padded(sorted_boxes.vertex_ids, jnp.int32(-(2**31) + 1)),
+        element_id=padded(sorted_boxes.element_id, jnp.int32(0)),
+        n=sorted_boxes.n,
+    )
+
+
+def shifted_pair_filters(
+    boxes: PaddedBoxes,
+    k_padded: jax.Array,
+    box_start: jax.Array,
+    box_tile: int,
+    shift0: jax.Array,
+    window: int,
+    is_two_lists: bool,
+    box_limit: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Filter pairs (i, i + s) for a box tile and a window of shifts.
+
+    The gather-free sweep inner loop: for boxes
+    ``i in [box_start, box_start + box_tile)`` and shifts
+    ``s = shift0 + 1 + [0, window)``, the partner arrays are the box arrays
+    displaced by ``s`` rows — realized as one dynamic slice per array plus
+    ``window`` static sub-slices: pure contiguous reads and VPU compares,
+    no gather and no binary search.  The major-axis overlap condition is
+    ``s <= k_i`` (``k`` from :func:`count_major_runs`, zero-padded);
+    remaining filters as in ``_pair_filters``.  ``boxes`` must be padded by
+    :func:`pad_boxes_for_shifts` with the same ``window``/``box_tile`` and
+    ``shift_cap >= shift0`` so no slice ever clamps.
+
+    Returns ``(first, second, keep)`` of shape ``(window * box_tile,)``,
+    shift-major, in the reference's emit convention (``sweep.cu:152-164``).
+
+    Work per call is ``box_tile * window`` pair tests regardless of how
+    many are live — profitable because each test is a handful of vector ops
+    (the gather-based unit-decode path pays ~6 gathers per test).
+    """
+    W = window
+    B = box_tile
+
+    def a_side(arr):
+        return jax.lax.dynamic_slice_in_dim(arr, box_start, B, axis=0)[None]
+
+    def b_side(arr):
+        blk = jax.lax.dynamic_slice_in_dim(
+            arr, box_start + shift0 + 1, B + W - 1, axis=0
+        )
+        return jnp.stack(
+            [jax.lax.slice_in_dim(blk, w, w + B, axis=0) for w in range(W)]
+        )  # (W, B, ...)
+
+    s_vals = shift0 + 1 + jnp.arange(W, dtype=jnp.int32)[:, None]  # (W, 1)
+    valid = s_vals <= a_side(k_padded)[0][None, :]  # (W, B)
+    if box_limit is not None:
+        # a-side boxes past the caller's range (e.g. another shard's boxes)
+        lane_idx = box_start + jnp.arange(B, dtype=jnp.int32)
+        valid = valid & (lane_idx < box_limit)[None, :]
+
+    a_min, a_max = a_side(boxes.minor_min), a_side(boxes.minor_max)
+    b_min, b_max = b_side(boxes.minor_min), b_side(boxes.minor_max)
+    minor_ok = jnp.all((a_min <= b_max) & (b_min <= a_max), axis=-1)
+
+    a_vid = a_side(boxes.vertex_ids)  # (1, B, 3)
+    b_vid = b_side(boxes.vertex_ids)  # (W, B, 3)
+    share = jnp.any(a_vid[:, :, :, None] == b_vid[:, :, None, :], axis=(2, 3))
+
+    a_eid = a_side(boxes.element_id)  # (1, B)
+    b_eid = b_side(boxes.element_id)  # (W, B)
+    if is_two_lists:
+        pair_ok = (a_eid >= 0) != (b_eid >= 0)
+    else:
+        pair_ok = jnp.ones_like(minor_ok)
+
+    keep = valid & minor_ok & pair_ok & ~share
+    lo = jnp.minimum(a_eid, b_eid)
+    hi = jnp.maximum(a_eid, b_eid)
+    first = flip_id(lo) if is_two_lists else lo
+    first = jnp.where(keep, jnp.broadcast_to(first, keep.shape), jnp.int32(-(2**31) + 1))
+    second = jnp.where(keep, jnp.broadcast_to(hi, keep.shape), jnp.int32(-(2**31) + 1))
+    return first.reshape(-1), second.reshape(-1), keep.reshape(-1)
+
+
 def count_window_units(k: jax.Array, window: int) -> jax.Array:
     """Work units per box: ``ceil(k_i / window)``.
 

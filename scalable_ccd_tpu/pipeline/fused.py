@@ -44,9 +44,9 @@ import jax.numpy as jnp
 
 from scalable_ccd_tpu.broad_phase.sweep import (
     count_major_runs,
-    count_window_units,
-    decode_pair_units,
     merge_two_lists,
+    pad_boxes_for_shifts,
+    shifted_pair_filters,
     sort_boxes,
 )
 from scalable_ccd_tpu.geometry.aabb import (
@@ -83,41 +83,53 @@ def _sweep_compact(
     pair_budget: int,
     sweep_batch: int,
     sweep_window: int,
+    shift_cap: int,
     max_sweep_steps: int,
     axis_name: Optional[str],
     slack: int = 0,
 ):
     """Filter + compact the major-axis pair space into a dense pair buffer.
 
-    The pair space is enumerated as (box, window) **work units** of
-    ``sweep_window`` consecutive partners each (``count_window_units``), so
-    the per-chunk binary search runs over ~total_pairs / window units while
-    filters and compaction stay proportional to true pair tests.
+    The pair space is enumerated **gather-free** as (shift-block, box-tile)
+    steps: each step tests boxes ``i`` of one tile against partners
+    ``i + s`` for a window of ``sweep_window`` shifts via
+    :func:`shifted_pair_filters` (contiguous slices + VPU compares — the
+    gather-based decode costs ~10 ms per million pairs on v5e, the
+    shift-block form well under 1 ms).  Steps whose tile has no run long
+    enough for the block's shifts are skipped with ``lax.cond``, so total
+    work is ``sum_tiles(box_tile * max_run_in_tile)``.
 
     Returns ``(pairs, n_pairs, overflow)``: an int32 buffer whose first
     ``n_pairs`` rows are surviving element-id pairs, and an overflow flag
-    set if the unit space exceeded what ``max_sweep_steps`` batches can
-    enumerate or more than ``pair_budget`` survivors were found.
+    set if any run exceeds ``shift_cap`` (pairs beyond it are not
+    enumerated), the step cap was hit, or more than ``pair_budget``
+    survivors were found.
     """
     W = sweep_window
-    units_per_step = max(1, sweep_batch // W)
-    ku = count_window_units(k, W)
-    unit_offsets = jnp.cumsum(ku, dtype=jnp.int32)
-    total_u = unit_offsets[-1]
+    B = max(1, sweep_batch // W)  # boxes per tile
+    n = sorted_boxes.n
 
     if axis_name is None:
-        base = jnp.int32(0)
-        my_total = total_u
+        n_my = n
+        shard_base = jnp.int32(0)
     else:
-        idx = jax.lax.axis_index(axis_name)
-        n_shards = jax.lax.axis_size(axis_name)
-        # contiguous unit ranges per shard (static load balance)
-        per = (total_u + n_shards - 1) // n_shards
-        base = (idx * per).astype(jnp.int32)
-        my_total = jnp.minimum(per, jnp.maximum(total_u - base, 0))
+        n_shards_static = jax.lax.axis_size(axis_name)
+        n_my = -(-n // n_shards_static)  # boxes per shard (static)
+        shard_base = (jax.lax.axis_index(axis_name) * n_my).astype(jnp.int32)
 
-    lane = jnp.arange(units_per_step, dtype=jnp.int32)
-    block_rows = units_per_step * W
+    n_tiles = -(-n_my // B)  # static
+    boxes = pad_boxes_for_shifts(sorted_boxes, shift_cap, W, B)
+    k_padded = jnp.concatenate(
+        [k, jnp.zeros((boxes.element_id.shape[0] - n,), k.dtype)]
+    )
+    # per-tile max run length -> per-tile shift-block count
+    k_tiles = jax.lax.dynamic_slice_in_dim(k_padded, shard_base, n_tiles * B)
+    tile_max_k = jnp.max(k_tiles.reshape(n_tiles, B), axis=1)
+    tile_max_k = jnp.minimum(tile_max_k, jnp.int32(shift_cap))
+    n_blocks = (jnp.max(tile_max_k) + W - 1) // W
+    total_steps = n_blocks * n_tiles
+
+    block_rows = B * W
     # slack: a full block is always written contiguously at the write
     # pointer (rows past the kept prefix are overwritten by later blocks);
     # also covers downstream dynamic slices so they never clamp.
@@ -127,29 +139,43 @@ def _sweep_compact(
 
     def cond(st):
         step, _, _, _ = st
-        return (step * units_per_step < my_total) & (step < max_sweep_steps)
+        return (step < total_steps) & (step < max_sweep_steps)
 
     def body(st):
         step, wp, pairs, of = st
-        units = base + step * units_per_step + lane
-        first, second, keep = decode_pair_units(
-            sorted_boxes, unit_offsets, units, base + my_total, k, W,
-            is_two_lists=is_vf,
+        block = step // n_tiles
+        tile = step - block * n_tiles
+        shift0 = block * W
+        box_start = shard_base + tile * B
+        live = shift0 < tile_max_k[tile]
+
+        def enumerate_block(args):
+            wp, pairs, of = args
+            first, second, keep = shifted_pair_filters(
+                boxes, k_padded, box_start, B, shift0, W, is_two_lists=is_vf,
+                box_limit=shard_base + n_my,
+            )
+            # compact survivors, append at the write pointer (sort +
+            # contiguous copy; scatters are ~40 ns/row on TPU)
+            nkeep, blk = compact_rows(keep, jnp.stack([first, second], axis=1))
+            of = of | (wp + nkeep > pair_budget)
+            wp_c = jnp.minimum(wp, jnp.int32(pair_budget))
+            pairs = jax.lax.dynamic_update_slice_in_dim(pairs, blk, wp_c, axis=0)
+            wp = jnp.minimum(wp + nkeep, jnp.int32(pair_budget))
+            return wp, pairs, of
+
+        wp, pairs, of = jax.lax.cond(
+            live, enumerate_block, lambda a: a, (wp, pairs, of)
         )
-        # compact survivors and append the whole block at the write pointer
-        # (sort + contiguous copy; scatters are ~40 ns/row on TPU)
-        nkeep, block = compact_rows(keep, jnp.stack([first, second], axis=1))
-        of = of | (wp + nkeep > pair_budget)
-        wp_c = jnp.minimum(wp, jnp.int32(pair_budget))  # slack keeps writes legal
-        pairs = jax.lax.dynamic_update_slice_in_dim(pairs, block, wp_c, axis=0)
-        wp = jnp.minimum(wp + nkeep, jnp.int32(pair_budget))
         return step + 1, wp, pairs, of
 
     step, n_pairs, pairs, of = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), pairs0, jnp.zeros((), bool))
     )
-    # unit space bigger than the enumeration budget -> candidates missed
-    of = of | (step * units_per_step < my_total)
+    # runs longer than shift_cap or steps beyond the cap -> pairs missed
+    of = of | (jnp.max(jax.lax.dynamic_slice_in_dim(
+        k_padded, shard_base, n_tiles * B)) > shift_cap)
+    of = of | (step < total_steps)
     return pairs, n_pairs, of
 
 
@@ -170,6 +196,7 @@ def _phase(
     stack_capacity: int,
     sweep_batch: int,
     sweep_window: int,
+    shift_cap: int,
     max_sweep_steps: int,
     dtype,
     axis_name: Optional[str],
@@ -181,8 +208,8 @@ def _phase(
 
     pairs, n_pairs, overflow = _sweep_compact(
         sorted_boxes, is_vf, k,
-        pair_budget, sweep_batch, sweep_window, max_sweep_steps, axis_name,
-        slack=batch,
+        pair_budget, sweep_batch, sweep_window, shift_cap, max_sweep_steps,
+        axis_name, slack=batch,
     )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
@@ -244,7 +271,8 @@ def fused_ccd_core(
     narrow_batch: int = 1 << 16,
     sweep_batch: int = 1 << 20,
     sweep_window: int = 64,
-    max_sweep_steps: int = 256,
+    shift_cap: int = 1 << 13,
+    max_sweep_steps: int = 1 << 14,
     axis_name: Optional[str] = None,
     solver: str = "bfs",
 ) -> FusedCCDResult:
@@ -277,6 +305,7 @@ def fused_ccd_core(
         stack_capacity=stack_capacity,
         sweep_batch=sweep_batch,
         sweep_window=sweep_window,
+        shift_cap=shift_cap,
         max_sweep_steps=max_sweep_steps,
         dtype=dtype,
         axis_name=axis_name,
@@ -308,6 +337,7 @@ def fused_ccd_core(
         "narrow_batch",
         "sweep_batch",
         "sweep_window",
+        "shift_cap",
         "max_sweep_steps",
         "solver",
     ),
@@ -328,7 +358,8 @@ def fused_ccd(
     narrow_batch: int = 1 << 16,
     sweep_batch: int = 1 << 20,
     sweep_window: int = 64,
-    max_sweep_steps: int = 256,
+    shift_cap: int = 1 << 13,
+    max_sweep_steps: int = 1 << 14,
     solver: str = "bfs",
 ) -> FusedCCDResult:
     """Single-chip fused CCD: one dispatch for the whole two-frame query.
@@ -353,6 +384,7 @@ def fused_ccd(
         narrow_batch=narrow_batch,
         sweep_batch=sweep_batch,
         sweep_window=sweep_window,
+        shift_cap=shift_cap,
         max_sweep_steps=max_sweep_steps,
         axis_name=None,
         solver=solver,
