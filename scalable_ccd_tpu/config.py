@@ -113,6 +113,12 @@ class CCDConfig:
     #: valid only as lower-bound certificates.
     toi_per_query: bool = False
 
+    #: Narrow-phase solver: "bfs" (queue-based, the TPU fast path) or "dfs"
+    #: (per-query bounded-stack, the exact-exploration-order oracle twin).
+    #: Both satisfy the same conservative contract; see
+    #: ``narrow_phase/bfs.py`` vs ``narrow_phase/root_finder.py``.
+    solver: str = "bfs"
+
     #: DFS stack capacity per query in the narrow phase.  The reference uses
     #: a global ring buffer grown on overflow (``ccd_buffer.cuh:7-83``);
     #: our per-query stack instead *conservatively accepts* (reports the

@@ -131,6 +131,7 @@ def find_roots_bfs(
 
     toi_pq = jnp.full((Q,), inf)
     checks = jnp.zeros((Q,), jnp.int32)
+    total_checks = jnp.zeros((), jnp.int32)
     overflow_pq = jnp.zeros((Q,), bool)
     overflow_g = jnp.zeros((), bool)
     toi_g = jnp.asarray(toi_init, dt)
@@ -142,7 +143,7 @@ def find_roots_bfs(
         return (count > 0) & (rounds < max_rounds)
 
     def body(state):
-        (dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks,
+        (dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks, total_checks,
          overflow_pq, overflow_g, rounds) = state
 
         m = jnp.minimum(count, jnp.int32(T))
@@ -163,6 +164,7 @@ def find_roots_bfs(
 
         if exact:
             checks = checks.at[qq].add(active.astype(jnp.int32))
+        total_checks = total_checks + m
 
         min_t = q_lo[:, 0]
         if toi_per_query:
@@ -236,12 +238,12 @@ def find_roots_bfs(
         count = at + n_new
 
         return (dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks,
-                overflow_pq, overflow_g, rounds + 1)
+                total_checks, overflow_pq, overflow_g, rounds + 1)
 
-    state = (dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks,
+    state = (dom_lo, dom_hi, qid, count, toi_pq, toi_g, checks, total_checks,
              overflow_pq, overflow_g, jnp.int32(0))
     state = jax.lax.while_loop(cond, body, state)
-    (dom_lo, _, qid_f, count, toi_pq, toi_g, checks,
+    (dom_lo, _, qid_f, count, toi_pq, toi_g, checks, total_checks,
      overflow_pq, overflow_g, _) = state
 
     # round-cap leftovers: conservative accept of whatever is still alive
@@ -263,5 +265,6 @@ def find_roots_bfs(
         toi_pq = jnp.where(valid, toi_out, inf)
         overflow_out = jnp.broadcast_to(overflow_g, (Q,)) & valid
     return RootFinderResult(
-        toi=toi_out, per_query_toi=toi_pq, checks=checks, overflow=overflow_out
+        toi=toi_out, per_query_toi=toi_pq, checks=checks,
+        overflow=overflow_out, total_checks=total_checks,
     )

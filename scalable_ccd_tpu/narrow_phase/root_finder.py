@@ -63,6 +63,10 @@ class RootFinderResult(NamedTuple):
     #: (Q,) True where the per-query stack overflowed and a conservative
     #: accept was taken.
     overflow: jax.Array
+    #: () int32 — total domains evaluated across the batch.  Equals
+    #: ``checks.sum()`` in exact modes; in the BFS solver's scatter-free
+    #: global mode it is the only work counter (``checks`` stays zero).
+    total_checks: jax.Array
 
 
 def _inclusion(q, lo, hi, err, ms, is_vf):
@@ -242,5 +246,6 @@ def find_roots(
 
     toi_out = jnp.minimum(jnp.asarray(toi_init, dt), jnp.min(toi_pq, initial=inf))
     return RootFinderResult(
-        toi=toi_out, per_query_toi=toi_pq, checks=checks, overflow=overflow
+        toi=toi_out, per_query_toi=toi_pq, checks=checks, overflow=overflow,
+        total_checks=jnp.sum(checks),
     )

@@ -8,10 +8,12 @@ peer-to-peer copies, SURVEY.md §2.2).  Here:
 - The mesh inputs (two vertex frames + connectivity) are small and
   replicated; every chip builds and sorts boxes identically (cheaper than
   communicating a distributed sort for any realistic mesh size).
-- The *major-axis pair-slot space* — the actual O(candidate) work — is
-  range-sharded: shard s of S takes slots [s*B, (s+1)*B).  Slots are
-  uniform units of work, so this is perfect static load balance without the
-  reference's guess-and-rerun per-device buffers
+- The sorted box range — and with it the pair-test work — is range-sharded:
+  shard s of S sweeps boxes [s*ceil(n/S), (s+1)*ceil(n/S)) against the
+  replicated sorted array (partner reads naturally cross the boundary, the
+  "halo" the reference's dead code also exploits,
+  ``_multigpu/broad_phase.cu:72-115``), then solves its own candidates
+  locally — no guess-and-rerun per-device buffers
   (``_multigpu/broad_phase.cu:135-175``).
 - The only cross-chip traffic is one ``lax.pmin`` of the running TOI per
   phase (VF then EE), riding ICI — replacing device-local ``atomicMin`` +
@@ -59,6 +61,9 @@ def make_sharded_ccd(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 1 << 16,
+    sweep_batch: int = 1 << 20,
+    sweep_window: int = 64,
+    shift_cap: int = 1 << 13,
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.
 
@@ -81,6 +86,9 @@ def make_sharded_ccd(
             dtype=dtype,
             stack_capacity=stack_capacity,
             narrow_batch=narrow_batch,
+            sweep_batch=sweep_batch,
+            sweep_window=sweep_window,
+            shift_cap=shift_cap,
             axis_name=AXIS,
         )
 

@@ -36,6 +36,7 @@ from scalable_ccd_tpu.geometry.aabb import (
 )
 from scalable_ccd_tpu.narrow_phase import (
     find_roots,
+    find_roots_bfs,
     gather_ee_queries,
     gather_vf_queries,
 )
@@ -133,7 +134,13 @@ def _partial_ccd(
                 q = gather_vf_queries(v0, v1, faces, overlaps, dtype=dtype)
             else:
                 q = gather_ee_queries(v0, v1, edges, overlaps, dtype=dtype)
-            res = find_roots(
+            solve = find_roots_bfs if config.solver == "bfs" else find_roots
+            kw = (
+                {"stack_capacity": config.stack_capacity}
+                if config.solver != "bfs"
+                else {}
+            )
+            res = solve(
                 q,
                 valid,
                 is_vf,
@@ -142,11 +149,12 @@ def _partial_ccd(
                 tolerance=tolerance,
                 max_iterations=max_iterations,
                 allow_zero_toi=allow_zero_toi,
-                toi_per_query=config.toi_per_query,
-                stack_capacity=config.stack_capacity,
+                # per-pair collision output needs exact per-query TOIs
+                toi_per_query=config.toi_per_query or collisions is not None,
+                **kw,
             )
             toi = float(res.toi)
-            stats.narrow_checks += int(res.checks.sum())
+            stats.narrow_checks += int(res.total_checks)
             stats.overflow_queries += int(res.overflow.sum())
             if collisions is not None:
                 pq = np.asarray(res.per_query_toi)

@@ -6,13 +6,14 @@ launch).  On TPU the same pipeline fuses into ONE jitted program with static
 work budgets — zero host round-trips:
 
 1. box build -> sort (VF two-list merge + EE one-list);
-2. **sweep**: enumerate the major-axis pair space as (box, window) work
-   units in fixed-size batches under a ``lax.while_loop`` (early exit once
-   the true total is consumed), filter (minor-axis overlap, simplex
-   validity, covertex — the tests of ``cuda/broad_phase/sweep.cu:139-181``),
-   and **compact survivors into a dense candidate buffer** with a stable
-   sort + contiguous copy — the functional equivalent of the reference's
-   ``add_overlap`` atomic append (``collision.cuh:45-54``);
+2. **sweep**: gather-free shift-block enumeration — boxes ``i`` vs partners
+   ``i + s`` for windows of shifts via contiguous slices and VPU compares
+   (minor-axis overlap, simplex validity, covertex — the tests of
+   ``cuda/broad_phase/sweep.cu:139-181``) under a ``lax.while_loop`` that
+   skips tiles with no runs long enough, then **compact survivors into a
+   dense candidate buffer** with a sort + contiguous copy — the functional
+   equivalent of the reference's ``add_overlap`` atomic append
+   (``collision.cuh:45-54``);
 3. **narrow phase**: a second ``while_loop`` over dense candidate batches,
    each solved by the frontier-BFS root finder, threading the running TOI so
    later batches are pruned by earlier hits (the device-side twin of the
