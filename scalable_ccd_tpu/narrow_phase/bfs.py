@@ -4,22 +4,26 @@ This is the direct TPU-native analogue of the reference's narrow-phase work
 queue (``ccd_buffer.cuh:7-83`` + the BFS driver loop
 ``root_finder.cu:431-447``): the CUDA version keeps a global ring buffer of
 (t,u,v) domains, launches one thread per domain per level, and advances the
-ring head with ``shift_queue_start``; the TPU version keeps a **front-aligned
-dense queue** as structure-of-arrays and pops a fixed-size **tile** of
-domains per ``lax.while_loop`` round:
+ring head with ``shift_queue_start``; the TPU version keeps a **dense
+stack** of domains as structure-of-arrays and pops a fixed-size **tile**
+per ``lax.while_loop`` round:
 
-    pop the first TILE rows (a static slice — no gather) -> evaluate the
-    8-corner inclusion test on the whole tile -> accept / prune / split ->
-    surviving children are stable-sort-compacted and appended after the
-    unpopped remainder with one contiguous dynamic-update-slice -> repeat
-    until the queue drains.
+    pop the top TILE rows (one contiguous dynamic slice — no gather) ->
+    evaluate the 8-corner inclusion test on the whole tile -> accept /
+    prune / split -> surviving children are sort-compacted and written
+    back over the popped region with one contiguous dynamic-update-slice
+    -> repeat until the stack drains.
 
-No scatters touch the queue: XLA lowers general scatters to ~40 ns/row on
-TPU (serialized), while multi-operand sorts and contiguous copies run at
-full throughput — see ``scalable_ccd_tpu/ops``.  Work is proportional to the
-number of domains actually evaluated (the reference's ``nbr_checks``
-metric), NOT to queue capacity and NOT to the worst query's work — no lane
-waits for a pathological neighbor (unlike the companion depth-first solver
+Per-round memory traffic is O(tile), and no scatters touch the stack: XLA
+lowers general scatters to ~40 ns/row on TPU (serialized), while
+multi-operand sorts, contiguous slices, and in-place updates run at full
+throughput — see ``scalable_ccd_tpu/ops``.  Low-t children are placed
+nearest the stack top, so exploration order approximates the reference
+DFS's earliest-time-first descent and the global TOI bound tightens
+quickly.  Work is proportional to the number of domains actually evaluated
+(the reference's ``nbr_checks`` metric), NOT to queue capacity and NOT to
+the worst query's work — no lane waits for a pathological neighbor (unlike
+the companion depth-first solver
 :func:`scalable_ccd_tpu.narrow_phase.root_finder.find_roots`, kept as the
 exact-order oracle twin).
 
@@ -147,10 +151,11 @@ def find_roots_bfs(
          overflow_pq, overflow_g, rounds) = state
 
         m = jnp.minimum(count, jnp.int32(T))
+        start = count - m  # stack top tile: rows [start, count)
+        q_lo = jax.lax.dynamic_slice_in_dim(dom_lo, start, T, axis=0)
+        q_hi = jax.lax.dynamic_slice_in_dim(dom_hi, start, T, axis=0)
+        qq = jax.lax.dynamic_slice_in_dim(qid, start, T, axis=0)
         active = lane < m
-        q_lo = dom_lo[:T]  # static slice — the popped tile
-        q_hi = dom_hi[:T]
-        qq = qid[:T]
 
         qd = qpack[qq]  # (T, 31) — the round's only query-data gather
         dq = CCDQueries(
@@ -219,18 +224,16 @@ def find_roots_bfs(
         lo2 = jnp.where(onehot, mid[:, None], q_lo)  # child2 lower
         hi1 = jnp.where(onehot, mid[:, None], q_hi)  # child1 upper
 
-        # interleave (child1, child2) per lane, compact, append after the
-        # unpopped remainder — sort + two contiguous copies, no scatter
-        c_keep = jnp.stack([do_split, push2], axis=1).reshape(-1)
-        c_lo = jnp.stack([q_lo, lo2], axis=1).reshape(-1, 3)
-        c_hi = jnp.stack([hi1, q_hi], axis=1).reshape(-1, 3)
+        # interleave (child2, child1) per lane — child1 ([s_lo, mid], the
+        # earlier-time half) lands nearer the stack top and pops first —
+        # compact, and write back over the popped region: one sort + one
+        # contiguous in-place update, no scatter, O(tile) traffic.
+        c_keep = jnp.stack([push2, do_split], axis=1).reshape(-1)
+        c_lo = jnp.stack([lo2, q_lo], axis=1).reshape(-1, 3)
+        c_hi = jnp.stack([q_hi, hi1], axis=1).reshape(-1, 3)
         c_qid = jnp.stack([qq, qq], axis=1).reshape(-1)
         n_new, b_lo, b_hi, b_qid = compact_rows(c_keep, c_lo, c_hi, c_qid)
 
-        z = jnp.zeros((T, 3), dt)
-        dom_lo = jnp.concatenate([dom_lo[T:], z])
-        dom_hi = jnp.concatenate([dom_hi[T:], z])
-        qid = jnp.concatenate([qid[T:], jnp.zeros((T,), jnp.int32)])
         at = count - m
         dom_lo = jax.lax.dynamic_update_slice_in_dim(dom_lo, b_lo, at, axis=0)
         dom_hi = jax.lax.dynamic_update_slice_in_dim(dom_hi, b_hi, at, axis=0)
