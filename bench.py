@@ -54,7 +54,9 @@ def main() -> None:
 
     res = fused_ccd(*args, **kw)  # compile + warm up
     jax.block_until_ready(res.toi)
-    while bool(res.overflowed):  # grow budgets like the reference's retry
+    for _ in range(3):  # grow budgets like the reference's retry
+        if not bool(res.overflowed):
+            break
         kw["vf_budget"] *= 2
         kw["ee_budget"] *= 2
         res = fused_ccd(*args, **kw)

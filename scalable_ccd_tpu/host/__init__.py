@@ -141,6 +141,10 @@ def sort_and_sweep(
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native host library unavailable: {_load_error}")
+    if n_threads == 0:
+        # test-CLI parity with the reference's --nthreads / tbb::global_control
+        # (tests/main.cpp:67-68)
+        n_threads = int(os.environ.get("SCCD_HOST_THREADS", "0"))
     bmin = np.ascontiguousarray(bmin, np.float64)
     bmax = np.ascontiguousarray(bmax, np.float64)
     vids = np.ascontiguousarray(vertex_ids, np.int32)

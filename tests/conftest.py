@@ -21,3 +21,26 @@ import jax  # noqa: E402
 # platform must be forced through the config (env vars are read too early).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_addoption(parser):
+    """Mirror the reference test binary's custom CLI (``tests/main.cpp:37-71``):
+    ``--log <level>`` (verbosity) and ``--nthreads <n>`` (host threads)."""
+    parser.addoption("--log", action="store", default=None,
+                     help="logging level name or number (e.g. DEBUG, 10)")
+    parser.addoption("--nthreads", action="store", type=int, default=0,
+                     help="native host sweep thread count (0 = hardware)")
+
+
+def pytest_configure(config):
+    level = config.getoption("--log")
+    if level is not None:
+        import logging
+
+        from scalable_ccd_tpu.utils.logging import logger
+
+        logger().setLevel(int(level) if level.isdigit() else level.upper())
+        logging.basicConfig()
+    nthreads = config.getoption("--nthreads")
+    if nthreads:
+        os.environ["SCCD_HOST_THREADS"] = str(nthreads)
