@@ -61,8 +61,8 @@ def make_sharded_ccd(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 1 << 16,
-    sweep_batch: int = 1 << 20,
-    sweep_window: int = 64,
+    sweep_batch: int = 1 << 16,
+    sweep_window: int = 32,
     shift_cap: int = 1 << 13,
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.

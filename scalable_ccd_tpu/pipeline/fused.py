@@ -270,8 +270,8 @@ def fused_ccd_core(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 1 << 16,
-    sweep_batch: int = 1 << 20,
-    sweep_window: int = 64,
+    sweep_batch: int = 1 << 16,
+    sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 14,
     axis_name: Optional[str] = None,
@@ -357,8 +357,8 @@ def fused_ccd(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 1 << 16,
-    sweep_batch: int = 1 << 20,
-    sweep_window: int = 64,
+    sweep_batch: int = 1 << 16,
+    sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 14,
     solver: str = "bfs",
