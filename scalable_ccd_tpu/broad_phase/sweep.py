@@ -80,19 +80,36 @@ _MINOR_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
 
 @functools.partial(jax.jit, static_argnames=("axis", "pad_to"))
-def sort_boxes(boxes: AABBs, axis: int = 0, pad_to: Optional[int] = None) -> SortedBoxes:
+def sort_boxes(boxes: AABBs, axis=0, pad_to: Optional[int] = None) -> SortedBoxes:
     """Sort boxes along ``axis`` and split into major/minor arrays.
 
     Replaces the reference's ``split_boxes`` kernel + ``thrust::sort_by_key``
-    (``cuda/broad_phase/aabb.cu:86-110``).  ``pad_to`` pads with sentinel
-    boxes at +inf major position (run length 0, unreachable as partners) so
-    jitted chunk shapes stay static across frames.
+    (``cuda/broad_phase/aabb.cu:86-110``).  ``axis`` may be 0/1/2 or
+    ``"auto"``, which picks the axis of largest box-center variance — the
+    reference's next-axis heuristic (``sort_and_sweep.cpp:176-195``; the GPU
+    path's ``calc_sort_dimension`` is dead code that hard-codes x,
+    ``aabb.cu:86``).  The final pair set is axis-independent (all three
+    axes are tested either way); the choice only affects candidate-slot
+    counts and therefore sweep cost.  ``pad_to`` pads with sentinel boxes at
+    +inf major position (run length 0, unreachable as partners) so jitted
+    chunk shapes stay static across frames.
     """
-    m0, m1 = _MINOR_AXES[axis]
-    major_min = boxes.min[:, axis]
-    major_max = boxes.max[:, axis]
-    minor_min = boxes.min[:, (m0, m1)]
-    minor_max = boxes.max[:, (m0, m1)]
+    if axis == "auto":
+        centers = boxes.min + boxes.max  # x2, irrelevant for argmax
+        var = jnp.var(centers, axis=0)  # (3,)
+        perm = jnp.argsort(-var)
+        pmin = jnp.take(boxes.min, perm, axis=1)
+        pmax = jnp.take(boxes.max, perm, axis=1)
+        major_min = pmin[:, 0]
+        major_max = pmax[:, 0]
+        minor_min = pmin[:, 1:]
+        minor_max = pmax[:, 1:]
+    else:
+        m0, m1 = _MINOR_AXES[axis]
+        major_min = boxes.min[:, axis]
+        major_max = boxes.max[:, axis]
+        minor_min = boxes.min[:, (m0, m1)]
+        minor_max = boxes.max[:, (m0, m1)]
     vertex_ids = boxes.vertex_ids
     element_id = boxes.element_id
 

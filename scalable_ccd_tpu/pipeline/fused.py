@@ -274,6 +274,7 @@ def fused_ccd_core(
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 14,
+    sweep_axis=0,
     axis_name: Optional[str] = None,
     solver: str = "bfs",
 ) -> FusedCCDResult:
@@ -291,8 +292,8 @@ def fused_ccd_core(
     )
     eb = build_edge_boxes(vb, edges)
     fb = build_face_boxes(vb, faces)
-    vf_sorted = sort_boxes(merge_two_lists(vb, fb))
-    ee_sorted = sort_boxes(eb)
+    vf_sorted = sort_boxes(merge_two_lists(vb, fb), axis=sweep_axis)
+    ee_sorted = sort_boxes(eb, axis=sweep_axis)
 
     common = dict(
         v0=vertices_t0,
@@ -340,6 +341,7 @@ def fused_ccd_core(
         "sweep_window",
         "shift_cap",
         "max_sweep_steps",
+        "sweep_axis",
         "solver",
     ),
 )
@@ -361,6 +363,7 @@ def fused_ccd(
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 14,
+    sweep_axis=0,
     solver: str = "bfs",
 ) -> FusedCCDResult:
     """Single-chip fused CCD: one dispatch for the whole two-frame query.
@@ -387,6 +390,7 @@ def fused_ccd(
         sweep_window=sweep_window,
         shift_cap=shift_cap,
         max_sweep_steps=max_sweep_steps,
+        sweep_axis=sweep_axis,
         axis_name=None,
         solver=solver,
     )
