@@ -34,7 +34,7 @@ TOI, and for VF only if u+v can still satisfy u+v <= 1
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

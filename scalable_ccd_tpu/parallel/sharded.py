@@ -25,7 +25,6 @@ used in tests.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -77,7 +77,7 @@ def main():
     @functools.partial(jax.jit, static_argnames=("is_vf",))
     def sweep_only(sb, k, is_vf):
         _, n, of = _sweep_compact(
-            sb, is_vf, k, 1 << 22, 1 << 20, 64, 1 << 13, 1 << 14, None,
+            sb, is_vf, k, 1 << 22, 1 << 16, 32, 1 << 13, 1 << 22, None,
             slack=1 << 16,
         )
         return n, of
