@@ -128,54 +128,12 @@ def _sweep_compact(
     tile_max_k = jnp.max(k_tiles.reshape(n_tiles, B), axis=1)
     tile_max_k = jnp.minimum(tile_max_k, jnp.int32(shift_cap))
     n_blocks = (jnp.max(tile_max_k) + W - 1) // W
-    max_blocks = shift_cap // W  # static
     total_steps = n_blocks * n_tiles
-
-    # Coarse (tile, block) liveness: a block of shifts is live for a tile
-    # only if some box in it BOTH has a run reaching the block (major axis)
-    # AND minor-intersects the union bounds of that partner window — a
-    # log-step windowed min/max over the sorted minor bounds, once per
-    # phase.  This typically kills most (tile, block) steps before the fine
-    # W x B test (the fine filters keep ~0.1% of pairs).
-    wmin = boxes.minor_min
-    wmax = boxes.minor_max
-    step_pow = 1
-    while step_pow < W:
-        wmin = jnp.minimum(wmin, jnp.roll(wmin, -step_pow, axis=0))
-        wmax = jnp.maximum(wmax, jnp.roll(wmax, -step_pow, axis=0))
-        step_pow *= 2
-    # wmin/wmax[j] now bound rows [j, j+W) (roll wrap rows land in padding)
-
-    a_min = jax.lax.dynamic_slice_in_dim(
-        boxes.minor_min, shard_base, n_tiles * B, axis=0
-    )
-    a_max = jax.lax.dynamic_slice_in_dim(
-        boxes.minor_max, shard_base, n_tiles * B, axis=0
-    )
-
-    def block_live(st):
-        b, live_tb = st
-        # per-box coarse test against partner window [i + b*W + 1, +W)
-        off = b * W + 1
-        pu_min = jax.lax.dynamic_slice_in_dim(
-            wmin, shard_base + off, n_tiles * B, axis=0
-        )
-        pu_max = jax.lax.dynamic_slice_in_dim(
-            wmax, shard_base + off, n_tiles * B, axis=0
-        )
-        minor_ok = jnp.all((a_min <= pu_max) & (pu_min <= a_max), axis=-1)
-        live_box = minor_ok & (b * W < k_tiles)
-        row = jnp.any(live_box.reshape(n_tiles, B), axis=1)
-        live_tb = jax.lax.dynamic_update_slice_in_dim(
-            live_tb, row[None], b, axis=0
-        )
-        return b + 1, live_tb
-
-    _, live_tb = jax.lax.while_loop(
-        lambda st: st[0] < n_blocks,
-        block_live,
-        (jnp.int32(0), jnp.zeros((max_blocks, n_tiles), bool)),
-    )  # (max_blocks, n_tiles)
+    # NOTE: a coarse (tile, block) liveness pass from windowed minor-bound
+    # unions was tried here and removed: on dense contact scenes it prunes
+    # <3% of steps (window unions are too loose) while its own loop costs
+    # ~90 ms — see PERF.md.  Revisit at finer granularity if sparse scenes
+    # dominate a workload.
 
     block_rows = B * W
     # slack: a full block is always written contiguously at the write
@@ -195,7 +153,7 @@ def _sweep_compact(
         tile = step - block * n_tiles
         shift0 = block * W
         box_start = shard_base + tile * B
-        live = live_tb[block, tile]
+        live = shift0 < tile_max_k[tile]
 
         def enumerate_block(args):
             wp, pairs, of = args
