@@ -9,12 +9,18 @@ register-level vector ops.  The XLA formulation of the same step lowers to
 (~0.2-0.4 ms per step, PERF.md); the kernel's cost is two contiguous DMAs
 plus pure VPU work.
 
+Mosaic requires HBM DMA slices to keep the 128-lane minor dimension whole,
+so the per-box data (minor bounds, vertex ids, element id, run length) is
+packed once per phase into a single ``(n_padded, 128)`` float32 array
+(:func:`pack_boxes_for_pallas`; integer columns bitcast) and rows are
+fetched full-width at arbitrary offsets.
+
 Semantics are bit-identical to the XLA path (asserted by
-``tests/test_pallas_sweep.py`` in interpret mode and by the fused pipeline's
-exact-set tests): pairs (i, i+s) for i in [box_start, box_start+box_tile),
-s in [shift0+1, shift0+1+window), filtered by run length, minor-axis
-overlap, two-list validity, and the covertex test, emitted in the
-reference's convention (``cuda/broad_phase/sweep.cu:152-164``).
+``tests/test_pallas_sweep.py`` in interpret mode and on hardware): pairs
+(i, i+s) for i in [box_start, box_start+box_tile), s in
+[shift0+1, shift0+1+window), filtered by run length, minor-axis overlap,
+two-list validity, and the covertex test, emitted in the reference's
+convention (``cuda/broad_phase/sweep.cu:152-164``).
 """
 
 from __future__ import annotations
@@ -26,58 +32,67 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_shifted_pair_filters"]
+__all__ = ["pack_boxes_for_pallas", "pallas_shifted_pair_filters"]
 
 _SENTINEL = -(2**31) + 1
+_LANES = 128
 
 
-def _kernel(scal_ref, mmin, mmax, vid, eid, kk,
-            out_first, out_second, out_keep,
-            a_mmin, a_mmax, a_vid, a_eid, a_k,
-            b_mmin, b_mmax, b_vid, b_eid, sems,
+def pack_boxes_for_pallas(boxes, k_padded) -> jax.Array:
+    """Pack padded box arrays into one (n_padded, 128) f32 row matrix.
+
+    Columns: 0-1 minor_min, 2-3 minor_max, 4-6 vertex_ids (bitcast),
+    7 element_id (bitcast), 8 run length k (bitcast); rest zero.
+    ``boxes`` is a :class:`~scalable_ccd_tpu.broad_phase.sweep.PaddedBoxes`.
+    """
+    f = jnp.float32
+    cols = [
+        boxes.minor_min.astype(f),
+        boxes.minor_max.astype(f),
+        jax.lax.bitcast_convert_type(boxes.vertex_ids, f),
+        jax.lax.bitcast_convert_type(boxes.element_id, f)[:, None],
+        jax.lax.bitcast_convert_type(k_padded.astype(jnp.int32), f)[:, None],
+    ]
+    packed = jnp.concatenate(cols, axis=1)  # (n_pad, 9)
+    pad = _LANES - packed.shape[1]
+    return jnp.concatenate(
+        [packed, jnp.zeros((packed.shape[0], pad), f)], axis=1
+    )
+
+
+def _kernel(scal_ref, packed, out_first, out_second, out_keep,
+            a_buf, b_buf, sems,
             *, window: int, box_tile: int, is_two_lists: bool):
     B, W = box_tile, window
     bs = scal_ref[0]
     s0 = scal_ref[1]
     blim = scal_ref[2]
 
-    copies = [
-        pltpu.make_async_copy(mmin.at[pl.ds(bs, B)], a_mmin, sems.at[0]),
-        pltpu.make_async_copy(mmax.at[pl.ds(bs, B)], a_mmax, sems.at[1]),
-        pltpu.make_async_copy(vid.at[pl.ds(bs, B)], a_vid, sems.at[2]),
-        pltpu.make_async_copy(eid.at[pl.ds(bs, B)], a_eid, sems.at[3]),
-        pltpu.make_async_copy(kk.at[pl.ds(bs, B)], a_k, sems.at[4]),
-        pltpu.make_async_copy(
-            mmin.at[pl.ds(bs + s0 + 1, B + W - 1)], b_mmin, sems.at[5]
-        ),
-        pltpu.make_async_copy(
-            mmax.at[pl.ds(bs + s0 + 1, B + W - 1)], b_mmax, sems.at[6]
-        ),
-        pltpu.make_async_copy(
-            vid.at[pl.ds(bs + s0 + 1, B + W - 1)], b_vid, sems.at[7]
-        ),
-        pltpu.make_async_copy(
-            eid.at[pl.ds(bs + s0 + 1, B + W - 1)], b_eid, sems.at[8]
-        ),
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    cp_a = pltpu.make_async_copy(packed.at[pl.ds(bs, B)], a_buf, sems.at[0])
+    cp_b = pltpu.make_async_copy(
+        packed.at[pl.ds(bs + s0 + 1, B + W - 1)], b_buf, sems.at[1]
+    )
+    cp_a.start()
+    cp_b.start()
+    cp_a.wait()
+    cp_b.wait()
 
-    am_lo = a_mmin[:]  # (B, 2)
-    am_hi = a_mmax[:]
-    av = a_vid[:]  # (B, 3)
-    ae = a_eid[:, 0]  # (B,)
-    ak = a_k[:, 0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+    i32 = jnp.int32
+    a = a_buf[:]
+    am_lo = a[:, 0:2]
+    am_hi = a[:, 2:4]
+    av = jax.lax.bitcast_convert_type(a[:, 4:7], i32)
+    ae = jax.lax.bitcast_convert_type(a[:, 7], i32)
+    ak = jax.lax.bitcast_convert_type(a[:, 8], i32)
+    lane = jax.lax.broadcasted_iota(i32, (B, 1), 0)[:, 0]
     in_range = (bs + lane) < blim
 
     for w in range(W):
-        bm_lo = b_mmin[w : w + B]
-        bm_hi = b_mmax[w : w + B]
-        bv = b_vid[w : w + B]
-        be = b_eid[w : w + B, 0]
+        b = b_buf[w : w + B]
+        bm_lo = b[:, 0:2]
+        bm_hi = b[:, 2:4]
+        bv = jax.lax.bitcast_convert_type(b[:, 4:7], i32)
+        be = jax.lax.bitcast_convert_type(b[:, 7], i32)
 
         minor_ok = jnp.all((am_lo <= bm_hi) & (bm_lo <= am_hi), axis=-1)
         share = jnp.zeros((B,), jnp.bool_)
@@ -94,9 +109,9 @@ def _kernel(scal_ref, mmin, mmax, vid, eid, kk,
         lo = jnp.minimum(ae, be)
         hi = jnp.maximum(ae, be)
         first = (-lo - 1) if is_two_lists else lo
-        out_first[w, :] = jnp.where(keep, first, jnp.int32(_SENTINEL))
-        out_second[w, :] = jnp.where(keep, hi, jnp.int32(_SENTINEL))
-        out_keep[w, :] = keep.astype(jnp.int32)
+        out_first[w, :] = jnp.where(keep, first, i32(_SENTINEL))
+        out_second[w, :] = jnp.where(keep, hi, i32(_SENTINEL))
+        out_keep[w, :] = keep.astype(i32)
 
 
 @functools.partial(
@@ -104,11 +119,7 @@ def _kernel(scal_ref, mmin, mmax, vid, eid, kk,
     static_argnames=("box_tile", "window", "is_two_lists", "interpret"),
 )
 def pallas_shifted_pair_filters(
-    minor_min,
-    minor_max,
-    vertex_ids,
-    element_id,
-    k_padded,
+    packed,
     box_start,
     shift0,
     box_limit,
@@ -119,30 +130,25 @@ def pallas_shifted_pair_filters(
 ):
     """One fused sweep-filter step; drop-in for ``shifted_pair_filters``.
 
-    Array arguments are the zero-padded box arrays (``pad_boxes_for_shifts``
-    with the same window/box_tile and ``shift_cap >= shift0``).  Returns
-    ``(first, second, keep)`` flattened to ``window * box_tile`` rows,
-    shift-major.
+    ``packed`` is :func:`pack_boxes_for_pallas` of the zero-padded box
+    arrays (``pad_boxes_for_shifts`` with the same window/box_tile and
+    ``shift_cap >= shift0``).  Returns ``(first, second, keep)`` flattened
+    to ``window * box_tile`` rows, shift-major.
     """
     B, W = box_tile, window
     scal = jnp.stack(
         [jnp.asarray(box_start, jnp.int32), jnp.asarray(shift0, jnp.int32),
          jnp.asarray(box_limit, jnp.int32)]
     )
-    dt = minor_min.dtype
-    n_b = B + W - 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((B, 2), dt), pltpu.VMEM((B, 2), dt),
-            pltpu.VMEM((B, 3), jnp.int32), pltpu.VMEM((B, 1), jnp.int32),
-            pltpu.VMEM((B, 1), jnp.int32),
-            pltpu.VMEM((n_b, 2), dt), pltpu.VMEM((n_b, 2), dt),
-            pltpu.VMEM((n_b, 3), jnp.int32), pltpu.VMEM((n_b, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((B, _LANES), jnp.float32),
+            pltpu.VMEM((B + W - 1, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     first, second, keep = pl.pallas_call(
@@ -156,12 +162,5 @@ def pallas_shifted_pair_filters(
             jax.ShapeDtypeStruct((W, B), jnp.int32),
         ),
         interpret=interpret,
-    )(
-        scal,
-        minor_min,
-        minor_max,
-        vertex_ids,
-        element_id.reshape(-1, 1),
-        k_padded.reshape(-1, 1).astype(jnp.int32),
-    )
+    )(scal, packed)
     return first.reshape(-1), second.reshape(-1), keep.reshape(-1) != 0
