@@ -1,5 +1,6 @@
 from scalable_ccd_tpu.broad_phase.brute_force import brute_force_overlaps
 from scalable_ccd_tpu.broad_phase.sweep import (
+    PaddedBoxes,
     SortedBoxes,
     count_major_runs,
     detect_overlaps,
@@ -10,6 +11,7 @@ from scalable_ccd_tpu.broad_phase.sweep import (
 )
 
 __all__ = [
+    "PaddedBoxes",
     "SortedBoxes",
     "brute_force_overlaps",
     "count_major_runs",

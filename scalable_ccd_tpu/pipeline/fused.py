@@ -63,7 +63,7 @@ from scalable_ccd_tpu.narrow_phase import (
 )
 from scalable_ccd_tpu.ops import compact_rows
 
-__all__ = ["FusedCCDResult", "fused_ccd", "fused_ccd_core"]
+__all__ = ["FusedCCDResult", "detect_overlaps_fused", "fused_ccd", "fused_ccd_core"]
 
 
 class FusedCCDResult(NamedTuple):
@@ -183,6 +183,40 @@ def _sweep_compact(
         k_padded, shard_base, n_tiles * B)) > shift_cap)
     of = of | (step < total_steps)
     return pairs, n_pairs, of
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "is_two_lists", "pair_budget", "sweep_batch", "sweep_window",
+        "shift_cap", "max_sweep_steps",
+    ),
+)
+def detect_overlaps_fused(
+    sorted_boxes,
+    is_two_lists: bool,
+    pair_budget: int = 1 << 20,
+    sweep_batch: int = 1 << 16,
+    sweep_window: int = 32,
+    shift_cap: int = 1 << 13,
+    max_sweep_steps: int = 1 << 22,
+):
+    """Single-dispatch broad phase: all candidate pairs, device-resident.
+
+    The fast-path analogue of ``BroadPhase::detect_overlaps()``
+    (``cuda/broad_phase/broad_phase.cu:226-252``) for callers that run
+    their own narrow phase: returns ``(pairs, count, overflow)`` where the
+    first ``count`` rows of ``pairs`` are the surviving element-id pairs
+    (reference emit convention); rows past ``count`` are garbage.  On
+    ``overflow`` re-run with larger budgets or fall back to the chunked
+    :func:`scalable_ccd_tpu.broad_phase.detect_overlaps`.
+    """
+    k = count_major_runs(sorted_boxes, jnp.int32(0), sorted_boxes.n)
+    return _sweep_compact(
+        sorted_boxes, is_two_lists, k,
+        pair_budget, sweep_batch, sweep_window, shift_cap, max_sweep_steps,
+        axis_name=None,
+    )
 
 
 def _phase(

@@ -104,3 +104,28 @@ def test_shared_vertex_pairs_excluded():
     faces = scene.faces
     for v_id, f_id in map(tuple, np.asarray(vf).tolist()):
         assert v_id not in faces[f_id], (v_id, f_id)
+
+
+def test_detect_overlaps_fused_matches_chunked():
+    """Single-dispatch broad phase == chunked collection, as sets."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scalable_ccd_tpu.broad_phase import detect_overlaps, sort_boxes
+    from scalable_ccd_tpu.broad_phase import merge_two_lists
+    from scalable_ccd_tpu.geometry.aabb import (
+        build_face_boxes,
+        build_vertex_boxes,
+    )
+    from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere
+    from scalable_ccd_tpu.pipeline.fused import detect_overlaps_fused
+
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.5)
+    vb = build_vertex_boxes(scene.vertices_t0, scene.vertices_t1, dtype=jnp.float32)
+    fb = build_face_boxes(vb, scene.faces)
+    sb = sort_boxes(merge_two_lists(vb, fb))
+    want = set(map(tuple, detect_overlaps(sb, is_two_lists=True).tolist()))
+    pairs, count, overflow = detect_overlaps_fused(sb, True, pair_budget=1 << 16)
+    assert not bool(overflow)
+    got = set(map(tuple, np.asarray(pairs[: int(count)]).tolist()))
+    assert got == want
