@@ -62,19 +62,29 @@ def pack_boxes_for_pallas(boxes, k_padded) -> jax.Array:
 
 def _kernel(scal_ref, packed, out_first, out_second, out_keep,
             a_buf, b_buf, sems,
-            *, window: int, box_tile: int, is_two_lists: bool):
-    B, W = box_tile, window
+            *, box_tile: int, is_two_lists: bool):
+    # grid=(window,): one shift per sequential grid step.  The a-side tile
+    # is DMA'd once (scratch persists across steps); the b-side tile is
+    # re-fetched per shift at its exact row offset, so no sublane-
+    # misaligned VMEM slices are ever materialized (a W-unrolled in-kernel
+    # loop ran the compiler out of scoped VMEM: each misaligned slice
+    # copies the whole tile).
+    B = box_tile
+    w = pl.program_id(0)
     bs = scal_ref[0]
     s0 = scal_ref[1]
     blim = scal_ref[2]
 
-    cp_a = pltpu.make_async_copy(packed.at[pl.ds(bs, B)], a_buf, sems.at[0])
+    @pl.when(w == 0)
+    def _():
+        cp = pltpu.make_async_copy(packed.at[pl.ds(bs, B)], a_buf, sems.at[0])
+        cp.start()
+        cp.wait()
+
     cp_b = pltpu.make_async_copy(
-        packed.at[pl.ds(bs + s0 + 1, B + W - 1)], b_buf, sems.at[1]
+        packed.at[pl.ds(bs + s0 + 1 + w, B)], b_buf, sems.at[1]
     )
-    cp_a.start()
     cp_b.start()
-    cp_a.wait()
     cp_b.wait()
 
     i32 = jnp.int32
@@ -87,31 +97,30 @@ def _kernel(scal_ref, packed, out_first, out_second, out_keep,
     lane = jax.lax.broadcasted_iota(i32, (B, 1), 0)[:, 0]
     in_range = (bs + lane) < blim
 
-    for w in range(W):
-        b = b_buf[w : w + B]
-        bm_lo = b[:, 0:2]
-        bm_hi = b[:, 2:4]
-        bv = jax.lax.bitcast_convert_type(b[:, 4:7], i32)
-        be = jax.lax.bitcast_convert_type(b[:, 7], i32)
+    b = b_buf[:]
+    bm_lo = b[:, 0:2]
+    bm_hi = b[:, 2:4]
+    bv = jax.lax.bitcast_convert_type(b[:, 4:7], i32)
+    be = jax.lax.bitcast_convert_type(b[:, 7], i32)
 
-        minor_ok = jnp.all((am_lo <= bm_hi) & (bm_lo <= am_hi), axis=-1)
-        share = jnp.zeros((B,), jnp.bool_)
-        for ca in range(3):
-            for cb in range(3):
-                share = share | (av[:, ca] == bv[:, cb])
-        valid = in_range & ((s0 + 1 + w) <= ak)
-        if is_two_lists:
-            pair_ok = (ae >= 0) != (be >= 0)
-        else:
-            pair_ok = jnp.ones((B,), jnp.bool_)
-        keep = valid & minor_ok & pair_ok & (~share)
+    minor_ok = jnp.all((am_lo <= bm_hi) & (bm_lo <= am_hi), axis=-1)
+    share = jnp.zeros((B,), jnp.bool_)
+    for ca in range(3):
+        for cb in range(3):
+            share = share | (av[:, ca] == bv[:, cb])
+    valid = in_range & ((s0 + 1 + w) <= ak)
+    if is_two_lists:
+        pair_ok = (ae >= 0) != (be >= 0)
+    else:
+        pair_ok = jnp.ones((B,), jnp.bool_)
+    keep = valid & minor_ok & pair_ok & (~share)
 
-        lo = jnp.minimum(ae, be)
-        hi = jnp.maximum(ae, be)
-        first = (-lo - 1) if is_two_lists else lo
-        out_first[w, :] = jnp.where(keep, first, i32(_SENTINEL))
-        out_second[w, :] = jnp.where(keep, hi, i32(_SENTINEL))
-        out_keep[w, :] = keep.astype(i32)
+    lo = jnp.minimum(ae, be)
+    hi = jnp.maximum(ae, be)
+    first = (-lo - 1) if is_two_lists else lo
+    out_first[0, :] = jnp.where(keep, first, i32(_SENTINEL))
+    out_second[0, :] = jnp.where(keep, hi, i32(_SENTINEL))
+    out_keep[0, :] = keep.astype(i32)
 
 
 @functools.partial(
@@ -142,18 +151,20 @@ def pallas_shifted_pair_filters(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
+        grid=(W,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[
+            pl.BlockSpec((1, B), lambda w, s: (w, 0), memory_space=pltpu.VMEM)
+        ] * 3,
         scratch_shapes=[
             pltpu.VMEM((B, _LANES), jnp.float32),
-            pltpu.VMEM((B + W - 1, _LANES), jnp.float32),
+            pltpu.VMEM((B, _LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     first, second, keep = pl.pallas_call(
         functools.partial(
-            _kernel, window=W, box_tile=B, is_two_lists=is_two_lists
+            _kernel, box_tile=B, is_two_lists=is_two_lists
         ),
         grid_spec=grid_spec,
         out_shape=(
