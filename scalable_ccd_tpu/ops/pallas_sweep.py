@@ -118,9 +118,9 @@ def _kernel(scal_ref, packed, out_first, out_second, out_keep,
     lo = jnp.minimum(ae, be)
     hi = jnp.maximum(ae, be)
     first = (-lo - 1) if is_two_lists else lo
-    out_first[0, :] = jnp.where(keep, first, i32(_SENTINEL))
-    out_second[0, :] = jnp.where(keep, hi, i32(_SENTINEL))
-    out_keep[0, :] = keep.astype(i32)
+    out_first[w, :] = jnp.where(keep, first, i32(_SENTINEL))
+    out_second[w, :] = jnp.where(keep, hi, i32(_SENTINEL))
+    out_keep[w, :] = keep.astype(i32)
 
 
 @functools.partial(
@@ -153,9 +153,7 @@ def pallas_shifted_pair_filters(
         num_scalar_prefetch=1,
         grid=(W,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, B), lambda w, s: (w, 0), memory_space=pltpu.VMEM)
-        ] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
             pltpu.VMEM((B, _LANES), jnp.float32),
             pltpu.VMEM((B, _LANES), jnp.float32),

@@ -62,6 +62,10 @@ from scalable_ccd_tpu.narrow_phase import (
     gather_vf_queries,
 )
 from scalable_ccd_tpu.ops import compact_rows
+from scalable_ccd_tpu.ops.pallas_sweep import (
+    pack_boxes_for_pallas,
+    pallas_shifted_pair_filters,
+)
 
 __all__ = ["FusedCCDResult", "detect_overlaps_fused", "fused_ccd", "fused_ccd_core"]
 
@@ -88,6 +92,7 @@ def _sweep_compact(
     max_sweep_steps: int,
     axis_name: Optional[str],
     slack: int = 0,
+    sweep_impl: str = "xla",
 ):
     """Filter + compact the major-axis pair space into a dense pair buffer.
 
@@ -135,6 +140,9 @@ def _sweep_compact(
     # ~90 ms — see PERF.md.  Revisit at finer granularity if sparse scenes
     # dominate a workload.
 
+    if sweep_impl == "pallas":
+        packed = pack_boxes_for_pallas(boxes, k_padded)
+
     block_rows = B * W
     # slack: a full block is always written contiguously at the write
     # pointer (rows past the kept prefix are overwritten by later blocks);
@@ -157,10 +165,16 @@ def _sweep_compact(
 
         def enumerate_block(args):
             wp, pairs, of = args
-            first, second, keep = shifted_pair_filters(
-                boxes, k_padded, box_start, B, shift0, W, is_two_lists=is_vf,
-                box_limit=shard_base + n_my,
-            )
+            if sweep_impl == "pallas":
+                first, second, keep = pallas_shifted_pair_filters(
+                    packed, box_start, shift0, shard_base + n_my,
+                    box_tile=B, window=W, is_two_lists=is_vf,
+                )
+            else:
+                first, second, keep = shifted_pair_filters(
+                    boxes, k_padded, box_start, B, shift0, W,
+                    is_two_lists=is_vf, box_limit=shard_base + n_my,
+                )
             # compact survivors, append at the write pointer (sort +
             # contiguous copy; scatters are ~40 ns/row on TPU)
             nkeep, blk = compact_rows(keep, jnp.stack([first, second], axis=1))
@@ -241,6 +255,7 @@ def _phase(
     dtype,
     axis_name: Optional[str],
     solver: str = "bfs",
+    sweep_impl: str = "xla",
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets."""
     n = sorted_boxes.n
@@ -249,7 +264,7 @@ def _phase(
     pairs, n_pairs, overflow = _sweep_compact(
         sorted_boxes, is_vf, k,
         pair_budget, sweep_batch, sweep_window, shift_cap, max_sweep_steps,
-        axis_name, slack=batch,
+        axis_name, slack=batch, sweep_impl=sweep_impl,
     )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
@@ -314,6 +329,7 @@ def fused_ccd_core(
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
     sweep_axis=0,
+    sweep_impl: str = "xla",
     axis_name: Optional[str] = None,
     solver: str = "bfs",
 ) -> FusedCCDResult:
@@ -351,6 +367,7 @@ def fused_ccd_core(
         dtype=dtype,
         axis_name=axis_name,
         solver=solver,
+        sweep_impl=sweep_impl,
     )
     toi0 = jnp.asarray(1.0, dtype)
     toi1, vf_total, vf_over = _phase(
@@ -381,6 +398,7 @@ def fused_ccd_core(
         "shift_cap",
         "max_sweep_steps",
         "sweep_axis",
+        "sweep_impl",
         "solver",
     ),
 )
@@ -403,6 +421,7 @@ def fused_ccd(
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
     sweep_axis=0,
+    sweep_impl: str = "xla",
     solver: str = "bfs",
 ) -> FusedCCDResult:
     """Single-chip fused CCD: one dispatch for the whole two-frame query.
@@ -430,6 +449,7 @@ def fused_ccd(
         shift_cap=shift_cap,
         max_sweep_steps=max_sweep_steps,
         sweep_axis=sweep_axis,
+        sweep_impl=sweep_impl,
         axis_name=None,
         solver=solver,
     )
