@@ -38,30 +38,27 @@ _SENTINEL = -(2**31) + 1
 _LANES = 128
 
 
-def pack_boxes_for_pallas(boxes, k_padded) -> jax.Array:
-    """Pack padded box arrays into one (n_padded, 128) f32 row matrix.
+def pack_boxes_for_pallas(boxes, k_padded):
+    """Pack padded box arrays into (n_padded, 128) f32 + i32 row matrices.
 
-    Columns: 0-1 minor_min, 2-3 minor_max, 4-6 vertex_ids (bitcast),
-    7 element_id (bitcast), 8 run length k (bitcast); rest zero.
-    ``boxes`` is a :class:`~scalable_ccd_tpu.broad_phase.sweep.PaddedBoxes`.
+    f32 columns: 0-1 minor_min, 2-3 minor_max.  i32 columns: 0-2
+    vertex_ids, 3 element_id, 4 run length k.  Rest zero.  ``boxes`` is a
+    :class:`~scalable_ccd_tpu.broad_phase.sweep.PaddedBoxes`.
     """
     f = jnp.float32
-    cols = [
-        boxes.minor_min.astype(f),
-        boxes.minor_max.astype(f),
-        jax.lax.bitcast_convert_type(boxes.vertex_ids, f),
-        jax.lax.bitcast_convert_type(boxes.element_id, f)[:, None],
-        jax.lax.bitcast_convert_type(k_padded.astype(jnp.int32), f)[:, None],
-    ]
-    packed = jnp.concatenate(cols, axis=1)  # (n_pad, 9)
-    pad = _LANES - packed.shape[1]
-    return jnp.concatenate(
-        [packed, jnp.zeros((packed.shape[0], pad), f)], axis=1
-    )
+    n = boxes.minor_min.shape[0]
+    pf = jnp.concatenate(
+        [boxes.minor_min.astype(f), boxes.minor_max.astype(f),
+         jnp.zeros((n, _LANES - 4), f)], axis=1)
+    pi = jnp.concatenate(
+        [boxes.vertex_ids, boxes.element_id[:, None],
+         k_padded.astype(jnp.int32)[:, None],
+         jnp.zeros((n, _LANES - 5), jnp.int32)], axis=1)
+    return pf, pi
 
 
-def _kernel(scal_ref, packed, out_first, out_second, out_keep,
-            a_buf, b_buf, sems,
+def _kernel(scal_ref, packed_f, packed_i, out_first, out_second, out_keep,
+            af_buf, ai_buf, bf_buf, bi_buf, sems,
             *, box_tile: int, is_two_lists: bool):
     # grid=(window,): one shift per sequential grid step.  The a-side tile
     # is DMA'd once (scratch persists across steps); the b-side tile is
@@ -77,31 +74,41 @@ def _kernel(scal_ref, packed, out_first, out_second, out_keep,
 
     @pl.when(w == 0)
     def _():
-        cp = pltpu.make_async_copy(packed.at[pl.ds(bs, B)], a_buf, sems.at[0])
-        cp.start()
-        cp.wait()
+        cpa = pltpu.make_async_copy(packed_f.at[pl.ds(bs, B)], af_buf, sems.at[0])
+        cpb = pltpu.make_async_copy(packed_i.at[pl.ds(bs, B)], ai_buf, sems.at[1])
+        cpa.start()
+        cpb.start()
+        cpa.wait()
+        cpb.wait()
 
-    cp_b = pltpu.make_async_copy(
-        packed.at[pl.ds(bs + s0 + 1 + w, B)], b_buf, sems.at[1]
+    cp_f = pltpu.make_async_copy(
+        packed_f.at[pl.ds(bs + s0 + 1 + w, B)], bf_buf, sems.at[2]
     )
-    cp_b.start()
-    cp_b.wait()
+    cp_i = pltpu.make_async_copy(
+        packed_i.at[pl.ds(bs + s0 + 1 + w, B)], bi_buf, sems.at[3]
+    )
+    cp_f.start()
+    cp_i.start()
+    cp_f.wait()
+    cp_i.wait()
 
     i32 = jnp.int32
-    a = a_buf[:]
-    am_lo = a[:, 0:2]
-    am_hi = a[:, 2:4]
-    av = jax.lax.bitcast_convert_type(a[:, 4:7], i32)
-    ae = jax.lax.bitcast_convert_type(a[:, 7], i32)
-    ak = jax.lax.bitcast_convert_type(a[:, 8], i32)
+    af = af_buf[:]
+    ai = ai_buf[:]
+    am_lo = af[:, 0:2]
+    am_hi = af[:, 2:4]
+    av = ai[:, 0:3]
+    ae = ai[:, 3]
+    ak = ai[:, 4]
     lane = jax.lax.broadcasted_iota(i32, (B, 1), 0)[:, 0]
     in_range = (bs + lane) < blim
 
-    b = b_buf[:]
-    bm_lo = b[:, 0:2]
-    bm_hi = b[:, 2:4]
-    bv = jax.lax.bitcast_convert_type(b[:, 4:7], i32)
-    be = jax.lax.bitcast_convert_type(b[:, 7], i32)
+    bf = bf_buf[:]
+    bi = bi_buf[:]
+    bm_lo = bf[:, 0:2]
+    bm_hi = bf[:, 2:4]
+    bv = bi[:, 0:3]
+    be = bi[:, 3]
 
     minor_ok = jnp.all((am_lo <= bm_hi) & (bm_lo <= am_hi), axis=-1)
     share = jnp.zeros((B,), jnp.bool_)
@@ -128,7 +135,8 @@ def _kernel(scal_ref, packed, out_first, out_second, out_keep,
     static_argnames=("box_tile", "window", "is_two_lists", "interpret"),
 )
 def pallas_shifted_pair_filters(
-    packed,
+    packed_f,
+    packed_i,
     box_start,
     shift0,
     box_limit,
@@ -139,8 +147,8 @@ def pallas_shifted_pair_filters(
 ):
     """One fused sweep-filter step; drop-in for ``shifted_pair_filters``.
 
-    ``packed`` is :func:`pack_boxes_for_pallas` of the zero-padded box
-    arrays (``pad_boxes_for_shifts`` with the same window/box_tile and
+    ``packed_f``/``packed_i`` are :func:`pack_boxes_for_pallas` of the
+    zero-padded box arrays (``pad_boxes_for_shifts`` with the same window/box_tile and
     ``shift_cap >= shift0``).  Returns ``(first, second, keep)`` flattened
     to ``window * box_tile`` rows, shift-major.
     """
@@ -152,12 +160,14 @@ def pallas_shifted_pair_filters(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(W,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
             pltpu.VMEM((B, _LANES), jnp.float32),
+            pltpu.VMEM((B, _LANES), jnp.int32),
             pltpu.VMEM((B, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((B, _LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     first, second, keep = pl.pallas_call(
@@ -171,5 +181,5 @@ def pallas_shifted_pair_filters(
             jax.ShapeDtypeStruct((W, B), jnp.int32),
         ),
         interpret=interpret,
-    )(scal, packed)
+    )(scal, packed_f, packed_i)
     return first.reshape(-1), second.reshape(-1), keep.reshape(-1) != 0

@@ -141,7 +141,7 @@ def _sweep_compact(
     # dominate a workload.
 
     if sweep_impl == "pallas":
-        packed = pack_boxes_for_pallas(boxes, k_padded)
+        packed_f, packed_i = pack_boxes_for_pallas(boxes, k_padded)
 
     block_rows = B * W
     # slack: a full block is always written contiguously at the write
@@ -167,7 +167,7 @@ def _sweep_compact(
             wp, pairs, of = args
             if sweep_impl == "pallas":
                 first, second, keep = pallas_shifted_pair_filters(
-                    packed, box_start, shift0, shard_base + n_my,
+                    packed_f, packed_i, box_start, shift0, shard_base + n_my,
                     box_tile=B, window=W, is_two_lists=is_vf,
                 )
             else:

@@ -46,14 +46,15 @@ def test_kernel_matches_xla(setup):
     k_pad = jnp.concatenate(
         [k, jnp.zeros((boxes.element_id.shape[0] - sb.n,), k.dtype)]
     )
-    packed = pack_boxes_for_pallas(boxes, k_pad)
+    packed_f, packed_i = pack_boxes_for_pallas(boxes, k_pad)
     max_k = int(k.max())
     for shift0 in range(0, max_k + W, W):
         for bs in range(0, sb.n, B):
             args = (boxes, k_pad, jnp.int32(bs), B, jnp.int32(shift0), W, two)
             fx, sx, kx = shifted_pair_filters(*args, box_limit=jnp.int32(sb.n))
             fp, sp, kp = pallas_shifted_pair_filters(
-                packed, jnp.int32(bs), jnp.int32(shift0), jnp.int32(sb.n),
+                packed_f, packed_i,
+                jnp.int32(bs), jnp.int32(shift0), jnp.int32(sb.n),
                 box_tile=B, window=W, is_two_lists=two, interpret=True,
             )
             np.testing.assert_array_equal(np.asarray(kp), np.asarray(kx))
