@@ -59,7 +59,7 @@ def make_sharded_ccd(
     allow_zero_toi: bool = True,
     dtype=jnp.float32,
     stack_capacity: int = 96,
-    narrow_batch: int = 1 << 16,
+    narrow_batch: int = 2048,
     sweep_batch: int = 1 << 16,
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,

@@ -323,7 +323,7 @@ def fused_ccd_core(
     allow_zero_toi: bool = True,
     dtype=jnp.float32,
     stack_capacity: int = 96,
-    narrow_batch: int = 1 << 16,
+    narrow_batch: int = 2048,
     sweep_batch: int = 1 << 16,
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,
@@ -415,7 +415,7 @@ def fused_ccd(
     allow_zero_toi: bool = True,
     dtype=jnp.float32,
     stack_capacity: int = 96,
-    narrow_batch: int = 1 << 16,
+    narrow_batch: int = 2048,
     sweep_batch: int = 1 << 16,
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,
