@@ -210,8 +210,8 @@ def detect_overlaps_fused(
     sorted_boxes,
     is_two_lists: bool,
     pair_budget: int = 1 << 20,
-    sweep_batch: int = 1 << 16,
-    sweep_window: int = 32,
+    sweep_batch: int = 1 << 14,
+    sweep_window: int = 4,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
 ):
@@ -324,8 +324,8 @@ def fused_ccd_core(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 2048,
-    sweep_batch: int = 1 << 16,
-    sweep_window: int = 32,
+    sweep_batch: int = 1 << 14,
+    sweep_window: int = 4,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
     sweep_axis=0,
@@ -416,8 +416,8 @@ def fused_ccd(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 2048,
-    sweep_batch: int = 1 << 16,
-    sweep_window: int = 32,
+    sweep_batch: int = 1 << 14,
+    sweep_window: int = 4,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
     sweep_axis=0,
