@@ -94,3 +94,18 @@ class TestSharded:
         )
         res = fn(*_args(scene), jnp.float64(0.0), jnp.float64(1e-6))
         assert bool(res.overflowed)
+
+
+def test_fused_many_narrow_batches_matches(scene=None):
+    """Tiny narrow batches force candidates across many batch boundaries;
+    the running-TOI threading must not change the result."""
+    s = cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
+    args = _args(s, jnp.float64)
+    big = fused_ccd(*args, vf_budget=1 << 15, ee_budget=1 << 15,
+                    narrow_batch=1 << 14, dtype=jnp.float64)
+    small = fused_ccd(*args, vf_budget=1 << 15, ee_budget=1 << 15,
+                      narrow_batch=128, dtype=jnp.float64)
+    assert not bool(big.overflowed) and not bool(small.overflowed)
+    assert float(small.toi) == float(big.toi)
+    assert int(small.vf_total) == int(big.vf_total)
+    assert int(small.ee_total) == int(big.ee_total)
