@@ -447,6 +447,7 @@ def sweep_chunks(
     box_chunk_size: int,
     pair_chunk_size: int,
     n_real_boxes: Optional[int] = None,
+    box_start: int = 0,
 ):
     """Host-driven generator over candidate-pair chunks.
 
@@ -459,7 +460,6 @@ def sweep_chunks(
     guess-and-retry is ever needed.
     """
     n = sorted_boxes.n if n_real_boxes is None else n_real_boxes
-    box_start = 0
     while box_start < n:
         b = min(box_chunk_size, n - box_start)
         k = count_major_runs(sorted_boxes, jnp.int32(box_start), box_chunk_size)

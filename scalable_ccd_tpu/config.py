@@ -113,6 +113,12 @@ class CCDConfig:
     #: valid only as lower-bound certificates.
     toi_per_query: bool = False
 
+    #: Chunked-pipeline broad phase: "fast" (gather-free shift-block sweep,
+    #: falls back to "exact" per chunk on budget overflow) or "exact" (the
+    #: slot-decode path with budget-free exact totals).  Both produce the
+    #: identical pair set (tests/test_sweep_decoders.py).
+    broad_impl: str = "fast"
+
     #: Narrow-phase solver: "bfs" (queue-based, the TPU fast path) or "dfs"
     #: (per-query bounded-stack, the exact-exploration-order oracle twin).
     #: Both satisfy the same conservative contract; see

@@ -113,12 +113,23 @@ def _partial_ccd(
     buckets = mem.query_buckets
     dtype = config.jnp_dtype
 
-    for pairs, count in sweep_chunks(
-        sorted_boxes,
-        is_two_lists=is_vf,
-        box_chunk_size=mem.box_chunk_size,
-        pair_chunk_size=mem.pair_chunk_size,
-    ):
+    if config.broad_impl == "fast":
+        from scalable_ccd_tpu.pipeline.fused import sweep_chunks_fast
+
+        chunks = sweep_chunks_fast(
+            sorted_boxes,
+            is_two_lists=is_vf,
+            box_chunk_size=mem.box_chunk_size,
+            pair_budget=mem.pair_chunk_size,
+        )
+    else:
+        chunks = sweep_chunks(
+            sorted_boxes,
+            is_two_lists=is_vf,
+            box_chunk_size=mem.box_chunk_size,
+            pair_chunk_size=mem.pair_chunk_size,
+        )
+    for pairs, count in chunks:
         if count == 0:
             continue
         if is_vf:

@@ -67,7 +67,13 @@ from scalable_ccd_tpu.ops.pallas_sweep import (
     pallas_shifted_pair_filters,
 )
 
-__all__ = ["FusedCCDResult", "detect_overlaps_fused", "fused_ccd", "fused_ccd_core"]
+__all__ = [
+    "FusedCCDResult",
+    "detect_overlaps_fused",
+    "fused_ccd",
+    "fused_ccd_core",
+    "sweep_chunks_fast",
+]
 
 
 class FusedCCDResult(NamedTuple):
@@ -93,6 +99,7 @@ def _sweep_compact(
     axis_name: Optional[str],
     slack: int = 0,
     sweep_impl: str = "xla",
+    box_range=None,
 ):
     """Filter + compact the major-axis pair space into a dense pair buffer.
 
@@ -115,7 +122,12 @@ def _sweep_compact(
     B = max(1, sweep_batch // W)  # boxes per tile
     n = sorted_boxes.n
 
-    if axis_name is None:
+    if box_range is not None:
+        # explicit sweep range: (traced start, static count) — the chunked
+        # pipeline's cursor (``thread_start_box_id``, ``broad_phase.cuh:85``)
+        shard_base = jnp.asarray(box_range[0], jnp.int32)
+        n_my = int(box_range[1])
+    elif axis_name is None:
         n_my = n
         shard_base = jnp.int32(0)
     else:
@@ -124,7 +136,10 @@ def _sweep_compact(
         shard_base = (jax.lax.axis_index(axis_name) * n_my).astype(jnp.int32)
 
     n_tiles = -(-n_my // B)  # static
-    boxes = pad_boxes_for_shifts(sorted_boxes, shift_cap, W, B)
+    # with an explicit range the cursor can sit near n while the (static)
+    # tile span still extends n_my+B rows past it — pad for the worst case
+    pad_tile = B + (n_my if box_range is not None else 0)
+    boxes = pad_boxes_for_shifts(sorted_boxes, shift_cap, W, pad_tile)
     k_padded = jnp.concatenate(
         [k, jnp.zeros((boxes.element_id.shape[0] - n,), k.dtype)]
     )
@@ -231,6 +246,73 @@ def detect_overlaps_fused(
         pair_budget, sweep_batch, sweep_window, shift_cap, max_sweep_steps,
         axis_name=None,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "is_two_lists", "box_chunk", "pair_budget", "sweep_batch",
+        "sweep_window", "shift_cap", "max_sweep_steps",
+    ),
+)
+def _sweep_chunk_fast(
+    sorted_boxes, k, box_start,
+    is_two_lists: bool, box_chunk: int, pair_budget: int,
+    sweep_batch: int, sweep_window: int, shift_cap: int,
+    max_sweep_steps: int,
+):
+    return _sweep_compact(
+        sorted_boxes, is_two_lists, k,
+        pair_budget, sweep_batch, sweep_window, shift_cap, max_sweep_steps,
+        axis_name=None, box_range=(box_start, box_chunk),
+    )
+
+
+def sweep_chunks_fast(
+    sorted_boxes,
+    is_two_lists: bool,
+    box_chunk_size: int = 1 << 15,
+    pair_budget: int = 1 << 20,
+    sweep_batch: int = 1 << 14,
+    sweep_window: int = 4,
+    shift_cap: int = 1 << 13,
+    max_sweep_steps: int = 1 << 22,
+    n_real_boxes: Optional[int] = None,
+):
+    """Host-driven generator over candidate-pair chunks, fast sweep.
+
+    Drop-in for :func:`scalable_ccd_tpu.broad_phase.sweep.sweep_chunks`
+    (the analogue of ``BroadPhase::detect_overlaps_partial`` looped by
+    ``is_complete()``, ``cuda/broad_phase/broad_phase.cu:121-252``) built on
+    the gather-free shift-block sweep; yields ``(pairs_device, count_int)``
+    per box chunk.  A chunk whose survivors exceed ``pair_budget`` or whose
+    runs exceed ``shift_cap`` falls back to the exact slot-decode generator
+    for that chunk only.
+    """
+    from scalable_ccd_tpu.broad_phase.sweep import sweep_chunks
+
+    n = sorted_boxes.n if n_real_boxes is None else n_real_boxes
+    k = count_major_runs(sorted_boxes, jnp.int32(0), sorted_boxes.n)
+    for box_start in range(0, n, box_chunk_size):
+        pairs, count, overflow = _sweep_chunk_fast(
+            sorted_boxes, k, jnp.int32(box_start),
+            is_two_lists, box_chunk_size, pair_budget,
+            sweep_batch, sweep_window, shift_cap, max_sweep_steps,
+        )
+        if bool(overflow):
+            # exact fallback for this box chunk only (slot decode is
+            # budget-free: totals are exact by construction)
+            sub = sweep_chunks(
+                sorted_boxes, is_two_lists,
+                box_chunk_size=box_chunk_size,
+                pair_chunk_size=max(pair_budget, 1 << 16),
+                n_real_boxes=min(box_start + box_chunk_size, n),
+                box_start=box_start,
+            )
+            for p_, c_ in sub:
+                yield p_, c_
+        else:
+            yield pairs, int(count)
 
 
 def _phase(

@@ -129,3 +129,24 @@ def test_detect_overlaps_fused_matches_chunked():
     assert not bool(overflow)
     got = set(map(tuple, np.asarray(pairs[: int(count)]).tolist()))
     assert got == want
+
+
+def test_sweep_chunks_fast_overflow_fallback():
+    """Tiny pair budget forces the per-chunk exact fallback; set unchanged."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scalable_ccd_tpu.broad_phase import detect_overlaps, merge_two_lists, sort_boxes
+    from scalable_ccd_tpu.geometry.aabb import build_face_boxes, build_vertex_boxes
+    from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere
+    from scalable_ccd_tpu.pipeline.fused import sweep_chunks_fast
+
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.5)
+    vb = build_vertex_boxes(scene.vertices_t0, scene.vertices_t1, dtype=jnp.float32)
+    fb = build_face_boxes(vb, scene.faces)
+    sb = sort_boxes(merge_two_lists(vb, fb))
+    want = set(map(tuple, detect_overlaps(sb, is_two_lists=True).tolist()))
+    got = set()
+    for pairs, count in sweep_chunks_fast(sb, True, box_chunk_size=256, pair_budget=64):
+        got.update(map(tuple, np.asarray(pairs[:count]).tolist()))
+    assert got == want
