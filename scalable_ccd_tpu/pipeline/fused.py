@@ -15,7 +15,7 @@ work budgets — zero host round-trips:
    equivalent of the reference's ``add_overlap`` atomic append
    (``collision.cuh:45-54``);
 3. **narrow phase**: a second ``while_loop`` over dense candidate batches,
-   each solved by the frontier-BFS root finder, threading the running TOI so
+   each solved by the stack-queue root finder, threading the running TOI so
    later batches are pruned by earlier hits (the device-side twin of the
    chunk loop ``ccd.cu:55-76``).
 
