@@ -33,6 +33,11 @@ VF_BUDGET = 1 << 22  # surviving-candidate budgets (MAX_OVERLAP_SIZE analogue)
 EE_BUDGET = 1 << 22
 REPS = 5
 
+# First TPU result ever recorded for this scene (2026-08-16, BASELINE.md);
+# used when BENCH_BASELINE.json is absent (fresh machine) so vs_baseline
+# stays comparable across rounds instead of resetting to 1.0.
+FIRST_TPU_MS = 14088.8
+
 
 def main() -> None:
     from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere
@@ -52,33 +57,39 @@ def main() -> None:
         max_iterations=-1, dtype=jnp.float32,
     )
 
-    res = fused_ccd(*args, **kw)  # compile + warm up
-    jax.block_until_ready(res.toi)
+    # Sync discipline: the axon tunnel's block_until_ready does NOT
+    # synchronize; fetch a scalar with jax.device_get instead (PERF.md).
+    def run_synced():
+        res = fused_ccd(*args, **kw)
+        jax.device_get(res.toi)
+        return res
+
+    res = run_synced()  # compile + warm up
     for _ in range(3):  # grow budgets like the reference's retry
-        if not bool(res.overflowed):
+        if not bool(jax.device_get(res.overflowed)):
             break
         kw["vf_budget"] *= 2
         kw["ee_budget"] *= 2
-        res = fused_ccd(*args, **kw)
-        jax.block_until_ready(res.toi)
+        res = run_synced()
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        res = fused_ccd(*args, **kw)
-        jax.block_until_ready(res.toi)
+        run_synced()
         times.append((time.perf_counter() - t0) * 1e3)
     ms = statistics.median(times)
 
     platform = jax.devices()[0].platform
     vs_baseline = 1.0
     if platform != "cpu":
+        baseline_ms = FIRST_TPU_MS
         if os.path.exists(BASELINE_PATH):
             with open(BASELINE_PATH) as f:
-                vs_baseline = json.load(f)["value"] / ms
+                baseline_ms = json.load(f)["value"]
         else:
             with open(BASELINE_PATH, "w") as f:
-                json.dump({"value": ms, "platform": platform}, f)
+                json.dump({"value": baseline_ms, "platform": platform}, f)
+        vs_baseline = baseline_ms / ms
 
     print(json.dumps({
         "metric": "fused_ccd_ms_per_frame_clothball_scale",
