@@ -90,9 +90,12 @@ def sort_boxes(boxes: AABBs, axis=0, pad_to: Optional[int] = None) -> SortedBoxe
     path's ``calc_sort_dimension`` is dead code that hard-codes x,
     ``aabb.cu:86``).  The final pair set is axis-independent (all three
     axes are tested either way); the choice only affects candidate-slot
-    counts and therefore sweep cost.  ``pad_to`` pads with sentinel boxes at
-    +inf major position (run length 0, unreachable as partners) so jitted
-    chunk shapes stay static across frames.
+    counts and therefore sweep cost.  ``pad_to`` pads with sentinel boxes
+    whose major interval is inverted (min at +big, max at -big): they sort
+    to the end, their run length is genuinely 0 (max < every min, so
+    ``count_major_runs`` finds no partners), and they are unreachable as
+    partners of real boxes — jitted chunk shapes stay static across frames
+    without enumerating a single pad pair.
     """
     if axis == "auto":
         centers = boxes.min + boxes.max  # x2, irrelevant for argmax
@@ -118,7 +121,7 @@ def sort_boxes(boxes: AABBs, axis=0, pad_to: Optional[int] = None) -> SortedBoxe
         pad = pad_to - n
         big = jnp.finfo(major_min.dtype).max / 8
         major_min = jnp.concatenate([major_min, jnp.full((pad,), big, major_min.dtype)])
-        major_max = jnp.concatenate([major_max, jnp.full((pad,), big, major_max.dtype)])
+        major_max = jnp.concatenate([major_max, jnp.full((pad,), -big, major_max.dtype)])
         minor_min = jnp.concatenate([minor_min, jnp.full((pad, 2), big, minor_min.dtype)])
         minor_max = jnp.concatenate([minor_max, jnp.full((pad, 2), -big, minor_max.dtype)])
         vertex_ids = jnp.concatenate(
@@ -448,23 +451,34 @@ def sweep_chunks(
     pair_chunk_size: int,
     n_real_boxes: Optional[int] = None,
     box_start: int = 0,
+    max_pairs_per_box_chunk: int = 1 << 30,
 ):
     """Host-driven generator over candidate-pair chunks.
 
     Yields ``(pairs_device, count_int)`` in bounded device memory, the
     analogue of ``BroadPhase::detect_overlaps_partial`` looped by
-    ``is_complete()`` (``cuda/broad_phase/broad_phase.cu:121-252``).  The
-    chunk-halving overflow policy of ``handleBroadPhaseOverflow``
-    (``memory_handler.cpp:55-79``) is mirrored by splitting the *pair* index
-    space instead: totals are exact by construction (host int64), so no
-    guess-and-retry is ever needed.
+    ``is_complete()`` (``cuda/broad_phase/broad_phase.cu:121-252``).
+    Totals are exact by construction, so no guess-and-retry is ever needed;
+    the chunk-halving policy of ``handleBroadPhaseOverflow``
+    (``memory_handler.cpp:55-79``) survives as the int32-safety valve: the
+    run lengths are summed on the host in int64 and the *box* chunk is
+    halved until its pair total fits ``max_pairs_per_box_chunk`` (clamped
+    below int32 range), so the device-side int32 prefix sums can never wrap.
+    A single box's run length is bounded by the box count (< 2^31), so
+    halting at chunk size 1 is always safe.
     """
     n = sorted_boxes.n if n_real_boxes is None else n_real_boxes
+    max_pairs = min(max_pairs_per_box_chunk, 2**31 - 1 - pair_chunk_size)
     while box_start < n:
-        b = min(box_chunk_size, n - box_start)
         k = count_major_runs(sorted_boxes, jnp.int32(box_start), box_chunk_size)
-        offsets = jnp.cumsum(k, dtype=jnp.int32)
-        total = int(offsets[-1])
+        k_host = np.asarray(k, dtype=np.int64)
+        chunk = box_chunk_size
+        total = int(k_host.sum())
+        while total > max_pairs and chunk > 1:
+            chunk //= 2
+            total = int(k_host[:chunk].sum())
+        b = min(chunk, n - box_start)
+        offsets = jnp.cumsum(k[:chunk], dtype=jnp.int32)
         logger().log(5, "broad chunk [%d, %d): %d major pairs", box_start, box_start + b, total)
         pair_start = 0
         while pair_start < total:
@@ -479,7 +493,7 @@ def sweep_chunks(
             )
             yield pairs, int(count)
             pair_start += pair_chunk_size
-        box_start += box_chunk_size
+        box_start += chunk
 
 
 def detect_overlaps(

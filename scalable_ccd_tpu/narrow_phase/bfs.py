@@ -168,6 +168,13 @@ def find_roots_bfs(
         d_ms = qd[:, 30]
 
         if exact:
+            # pre-increment counts: the reference compares the counter
+            # BEFORE this pop (root_finder.cu:302) — capture before the add.
+            # Same-query lanes within one tile all see the same pre-count
+            # (a sequential DFS would see incrementing values); this can
+            # only examine MORE domains than the reference, never fewer,
+            # which errs on the conservative side.
+            pre_checks = checks[qq]
             checks = checks.at[qq].add(active.astype(jnp.int32))
         total_checks = total_checks + m
 
@@ -178,7 +185,7 @@ def find_roots_bfs(
             bound = toi_g
         live = active & (min_t < bound)
         if max_iterations >= 0:
-            live = live & (checks[qq] <= max_iterations)
+            live = live & (pre_checks <= max_iterations)
 
         hit, box_in, true_tol = _inclusion(dq, q_lo, q_hi, d_err, d_ms, is_vf)
         widths = q_hi - q_lo

@@ -57,8 +57,9 @@ def _tolerance(pts, is_vf, co_tol):
     et, eu, ev = ext(0), ext(1), ext(2)
     if is_vf:
         return np.array([co_tol / (3 * et), co_tol / (3 * eu), co_tol / (3 * ev)])
-    # EE reuses the t extent for u (reference quirk, root_finder.cu:82-87)
-    return np.array([co_tol / (3 * et), co_tol / (3 * et), co_tol / (3 * ev)])
+    # EE quirk (root_finder.cu:82-87): tol = (ext_t, ext_t, ext_u) — the
+    # t extent is reused for u and the u extent lands in the v slot
+    return np.array([co_tol / (3 * et), co_tol / (3 * et), co_tol / (3 * eu)])
 
 
 def _error_bound(pts, is_vf, use_ms):

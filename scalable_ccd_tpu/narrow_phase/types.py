@@ -169,9 +169,12 @@ def compute_tolerance(q: CCDQueries, is_vf: bool, co_domain_tolerance) -> jax.Ar
     values pXYZ in the reference are exactly F at the corners of [0,1]^3, so
     we evaluate them with :func:`domain_corners`.
 
-    Reference quirk kept for parity: the EE variant reuses the t-direction
-    extent for u (``root_finder.cu:71-87`` — flagged there as an intentional
-    deviation from the original Tight-Inclusion).
+    Reference quirk kept for parity (``root_finder.cu:71-87`` — flagged
+    there as an intentional deviation from the original Tight-Inclusion):
+    the EE variant's corner lists give tol = (ext_t, ext_t, ext_u) — the
+    t-extent is reused for the u slot and the u-extent lands in the v slot
+    (its tol[2] argument list pairs corners across the u index, identical
+    to the VF tol[1] list).
     """
     dt = q.p0s.dtype
     zero = jnp.zeros((q.n, 3), dt)
@@ -190,7 +193,7 @@ def compute_tolerance(q: CCDQueries, is_vf: bool, co_domain_tolerance) -> jax.Ar
     if is_vf:
         return jnp.stack([co / (3 * ext_t), co / (3 * ext_u), co / (3 * ext_v)], axis=1)
     else:
-        return jnp.stack([co / (3 * ext_t), co / (3 * ext_t), co / (3 * ext_v)], axis=1)
+        return jnp.stack([co / (3 * ext_t), co / (3 * ext_t), co / (3 * ext_u)], axis=1)
 
 
 def numerical_error_bound(q: CCDQueries, is_vf: bool, use_ms: bool) -> jax.Array:

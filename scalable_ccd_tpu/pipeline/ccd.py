@@ -128,6 +128,7 @@ def _partial_ccd(
             is_two_lists=is_vf,
             box_chunk_size=mem.box_chunk_size,
             pair_chunk_size=mem.pair_chunk_size,
+            max_pairs_per_box_chunk=mem.max_pairs_per_box_chunk,
         )
     for pairs, count in chunks:
         if count == 0:

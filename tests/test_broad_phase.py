@@ -150,3 +150,38 @@ def test_sweep_chunks_fast_overflow_fallback():
     for pairs, count in sweep_chunks_fast(sb, True, box_chunk_size=256, pair_budget=64):
         got.update(map(tuple, np.asarray(pairs[:count]).tolist()))
     assert got == want
+
+
+def test_box_chunk_halving_preserves_pair_set():
+    """A tiny max_pairs_per_box_chunk forces host-side box-chunk halving
+    (the int32-safety valve mirroring handleBroadPhaseOverflow,
+    memory_handler.cpp:55-79); the pair set must be unchanged."""
+    from scalable_ccd_tpu.broad_phase import sweep_chunks
+
+    scene = triangle_soup(200, motion=0.2, seed=5)
+    _, eb, _ = _build(scene)
+    sb = sort_boxes(eb)
+    full = _pair_set(detect_overlaps(sb, is_two_lists=False))
+
+    out = []
+    for pairs, count in sweep_chunks(
+        sb, False, box_chunk_size=256, pair_chunk_size=128,
+        max_pairs_per_box_chunk=64,  # far below any real chunk total
+    ):
+        if count:
+            out.append(np.asarray(pairs[:count]))
+    halved = _pair_set(np.concatenate(out) if out else np.zeros((0, 2), np.int32))
+    assert halved == full
+
+
+def test_pad_rows_have_zero_runs():
+    """Sentinel pad rows must have genuinely empty major runs: no pad-pad
+    slot is ever enumerated (they carry an inverted major interval)."""
+    from scalable_ccd_tpu.broad_phase.sweep import count_major_runs
+
+    scene = triangle_soup(50, motion=0.2, seed=6)
+    _, eb, _ = _build(scene)
+    n = int(eb.n)
+    padded = sort_boxes(eb, pad_to=n + 257)
+    k = np.asarray(count_major_runs(padded, jnp.int32(0), padded.n))
+    assert (k[n:] == 0).all()

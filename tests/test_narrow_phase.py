@@ -260,3 +260,38 @@ class TestGather:
             q, jnp.ones((1,), bool), False, toi_init=jnp.inf, ms=0.0, tolerance=1e-6
         )
         assert float(res.toi) == pytest.approx(0.5, abs=1e-3)
+
+
+def test_ee_tolerance_matches_reference_corner_lists():
+    """Independent check of the EE tolerance quirk (root_finder.cu:69-88):
+    the reference's corner-difference lists give tol = (ext_t, ext_t, ext_u)
+    — the u extent lands in the v slot.  Computed here directly from the
+    reference's p_tuv corner algebra, not via the library's extent helper."""
+    from scalable_ccd_tpu.narrow_phase.types import compute_tolerance
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(3, 8, 3))
+    co = 1e-6
+
+    v0s, v1s, v2s, v3s, v0e, v1e, v2e, v3e = (pts[:, i] for i in range(8))
+    # p[tuv] = F at the corner (EE: F = (a0 + (a1-a0)u) - (b0 + (b1-b0)v))
+    p = {}
+    for t, (a0, a1, b0, b1) in enumerate(((v0s, v1s, v2s, v3s), (v0e, v1e, v2e, v3e))):
+        p[(t, 0, 0)] = a0 - b0
+        p[(t, 0, 1)] = a0 - b1
+        p[(t, 1, 0)] = a1 - b0
+        p[(t, 1, 1)] = a1 - b1
+
+    def max_linf_4(quads):
+        return np.max([np.abs(p[b] - p[a]).max(axis=-1) for a, b in quads], axis=0)
+
+    # reference argument lists, compute_edge_edge_tolerance (root_finder.cu:69-88)
+    t_pairs = [((0, u, v), (1, u, v)) for u in (0, 1) for v in (0, 1)]
+    u_pairs = [((t, 0, v), (t, 1, v)) for t in (0, 1) for v in (0, 1)]
+    expected = np.stack(
+        [co / (3 * max_linf_4(t_pairs)),
+         co / (3 * max_linf_4(t_pairs)),
+         co / (3 * max_linf_4(u_pairs))], axis=1)
+
+    tol = np.asarray(compute_tolerance(_queries_from_pts(pts), False, co))
+    np.testing.assert_allclose(tol, expected, rtol=1e-12)
