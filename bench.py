@@ -55,7 +55,11 @@ def main() -> None:
     kw = dict(
         vf_budget=VF_BUDGET, ee_budget=EE_BUDGET,
         max_iterations=-1, dtype=jnp.float32,
+        validate=False,  # validated once below; keep reps pure device time
     )
+    from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
+
+    validate_mesh_inputs(*args)
 
     # Sync discipline: the axon tunnel's block_until_ready does NOT
     # synchronize; fetch a scalar with jax.device_get instead (PERF.md).

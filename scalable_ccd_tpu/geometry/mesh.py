@@ -10,7 +10,78 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["edges_from_faces", "read_ply", "write_ply"]
+__all__ = ["edges_from_faces", "read_ply", "write_ply", "validate_mesh_inputs"]
+
+
+def validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces) -> None:
+    """Fail fast on malformed two-frame mesh input at the public API boundary.
+
+    The reference surfaces device errors via ``gpuErrchk``
+    (``cuda/utils/assert.cuh:5-28``); in a functional pipeline a NaN/inf
+    vertex would instead flow silently through sorts and filters (NaN
+    comparisons are all-false, so contacts could be *missed*, violating the
+    conservativeness contract).  Checks: matching (n, 3) vertex frames,
+    integer (m, 2) edges / (k, 3) faces, indices in range, finite
+    coordinates.  Raises ``ValueError``.  Host-side and cheap (one pass over
+    the inputs); run once per public call, never inside jit.
+    """
+    v0, v1, e, f = vertices_t0, vertices_t1, edges, faces
+    shape = lambda a: tuple(np.shape(a))  # noqa: E731 — metadata only, no transfer
+    if len(shape(v0)) != 2 or shape(v0)[1] != 3:
+        raise ValueError(f"vertices_t0 must be (n, 3), got {shape(v0)}")
+    if shape(v1) != shape(v0):
+        raise ValueError(
+            f"vertex frames must match: t0 {shape(v0)} vs t1 {shape(v1)}"
+        )
+    if len(shape(e)) != 2 or shape(e)[1] != 2:
+        raise ValueError(f"edges must be (m, 2), got {shape(e)}")
+    if len(shape(f)) != 2 or shape(f)[1] != 3:
+        raise ValueError(f"faces must be (k, 3), got {shape(f)}")
+    for name, idx in (("edges", e), ("faces", f)):
+        dt = getattr(idx, "dtype", None) or np.asarray(idx).dtype
+        if not np.issubdtype(dt, np.integer):
+            raise ValueError(f"{name} must be an integer index array, got {dt}")
+    n = shape(v0)[0]
+
+    all_host = all(
+        isinstance(a, (np.ndarray, list, tuple)) for a in (v0, v1, e, f)
+    )
+    if all_host:
+        v0a, v1a = np.asarray(v0), np.asarray(v1)
+        mins_maxs = [
+            (int(np.min(idx)) if np.size(idx) else 0,
+             int(np.max(idx)) if np.size(idx) else -1)
+            for idx in (np.asarray(e), np.asarray(f))
+        ]
+        finite = bool(np.isfinite(v0a).all() and np.isfinite(v1a).all())
+    else:
+        # device-resident inputs: reduce on device, fetch 5 scalars in one
+        # round trip (never pull the arrays over a slow host link)
+        import jax
+        import jax.numpy as jnp
+
+        ej, fj = jnp.asarray(e), jnp.asarray(f)
+        probes = (
+            jnp.isfinite(jnp.asarray(v0)).all() & jnp.isfinite(jnp.asarray(v1)).all(),
+            ej.min() if ej.size else jnp.int32(0),
+            ej.max() if ej.size else jnp.int32(-1),
+            fj.min() if fj.size else jnp.int32(0),
+            fj.max() if fj.size else jnp.int32(-1),
+        )
+        finite, e_lo, e_hi, f_lo, f_hi = jax.device_get(probes)
+        finite = bool(finite)
+        mins_maxs = [(int(e_lo), int(e_hi)), (int(f_lo), int(f_hi))]
+
+    for name, (lo, hi) in zip(("edges", "faces"), mins_maxs):
+        if hi >= 0 and (lo < 0 or hi >= n):
+            raise ValueError(
+                f"{name} index out of range [0, {n}): min={lo}, max={hi}"
+            )
+    if not finite:
+        raise ValueError(
+            "vertex positions contain non-finite values (NaN/inf); "
+            "conservative CCD is undefined on non-finite input"
+        )
 
 
 def edges_from_faces(faces: np.ndarray) -> np.ndarray:

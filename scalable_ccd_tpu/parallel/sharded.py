@@ -109,10 +109,15 @@ def sharded_ccd(
     mesh: Optional[Mesh] = None,
     min_distance=0.0,
     tolerance=1e-6,
+    validate: bool = True,
     **kwargs,
 ) -> FusedCCDResult:
     """One-shot multi-chip CCD (convenience wrapper over
     :func:`make_sharded_ccd`)."""
+    if validate:
+        from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
+
+        validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces)
     mesh = default_mesh() if mesh is None else mesh
     fn = make_sharded_ccd(mesh, **kwargs)
     dtype = kwargs.get("dtype", jnp.float32)

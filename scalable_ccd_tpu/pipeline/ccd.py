@@ -198,6 +198,7 @@ def ccd(
     config: CCDConfig = DEFAULT_CONFIG,
     collisions: Optional[List[Tuple[int, int, float]]] = None,
     stats: Optional[CCDStats] = None,
+    validate: bool = True,
 ):
     """Earliest time of impact over all vertex-face and edge-edge pairs.
 
@@ -206,9 +207,16 @@ def ccd(
     earliest conservative TOI in [0, 1], 1.0 meaning "no contact".  Pass a
     ``collisions`` list to also collect per-pair (id_a, id_b, toi) hits — the
     reference's ``SCALABLE_CCD_TOI_PER_QUERY`` mode (``ccd.cuh:35-37``) as a
-    runtime option.
+    runtime option.  ``validate`` fails fast on NaN/inf vertices and
+    malformed connectivity (the reference's error surface is ``gpuErrchk``,
+    ``cuda/utils/assert.cuh:5-28``; NaNs would otherwise silently defeat the
+    conservativeness contract).
     """
     stats = stats if stats is not None else CCDStats()
+    if validate:
+        from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
+
+        validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces)
     dtype = config.jnp_dtype
 
     with profiler().scope("ccd"):
@@ -253,6 +261,7 @@ def ipc_ccd_strategy(
     tolerance: float = 1e-6,
     config: CCDConfig = DEFAULT_CONFIG,
     stats: Optional[CCDStats] = None,
+    validate: bool = True,
 ):
     """The IPC [Li et al. 2020] stepping rule on top of the same pipeline.
 
@@ -267,13 +276,14 @@ def ipc_ccd_strategy(
         vertices_t0, vertices_t1, edges, faces,
         min_distance=min_distance, max_iterations=max_iterations,
         tolerance=tolerance, allow_zero_toi=True, config=config, stats=stats,
+        validate=validate,
     )
     if toi < 1e-6:
         logger().debug("IPC refinement: earliest_toi=%g, re-running exactly", toi)
         toi = ccd(
             vertices_t0, vertices_t1, edges, faces,
             min_distance=0.0, max_iterations=-1, tolerance=tolerance,
-            allow_zero_toi=False, config=config, stats=stats,
+            allow_zero_toi=False, config=config, stats=stats, validate=False,
         )
         toi *= 0.8
     return toi

@@ -484,7 +484,7 @@ def fused_ccd_core(
         "solver",
     ),
 )
-def fused_ccd(
+def _fused_ccd_jit(
     vertices_t0,
     vertices_t1,
     edges,
@@ -506,12 +506,6 @@ def fused_ccd(
     sweep_impl: str = "xla",
     solver: str = "bfs",
 ) -> FusedCCDResult:
-    """Single-chip fused CCD: one dispatch for the whole two-frame query.
-
-    API mirror of ``cuda::ccd`` (``ccd.cuh:26-38``) under static budgets.
-    Check ``result.overflowed`` — if True, re-run with larger budgets or use
-    the chunked :func:`scalable_ccd_tpu.pipeline.ccd`.
-    """
     return fused_ccd_core(
         vertices_t0,
         vertices_t1,
@@ -535,3 +529,28 @@ def fused_ccd(
         axis_name=None,
         solver=solver,
     )
+
+
+def fused_ccd(
+    vertices_t0,
+    vertices_t1,
+    edges,
+    faces,
+    validate: bool = True,
+    **kwargs,
+) -> FusedCCDResult:
+    """Single-chip fused CCD: one dispatch for the whole two-frame query.
+
+    API mirror of ``cuda::ccd`` (``ccd.cuh:26-38``) under static budgets;
+    see :func:`fused_ccd_core` for the knobs.  Check ``result.overflowed``
+    — if True, re-run with larger budgets or use the chunked
+    :func:`scalable_ccd_tpu.pipeline.ccd`.  ``validate`` fails fast on
+    NaN/inf vertices and malformed connectivity before entering the jitted
+    program (one device reduction + scalar fetch; pass False in per-frame
+    inner loops that validated the mesh once).
+    """
+    if validate:
+        from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
+
+        validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces)
+    return _fused_ccd_jit(vertices_t0, vertices_t1, edges, faces, **kwargs)
