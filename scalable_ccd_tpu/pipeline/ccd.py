@@ -55,6 +55,7 @@ class CCDStats:
     ee_candidates: int = 0
     narrow_checks: int = 0
     overflow_queries: int = 0
+    ipc_refinements: int = 0
     broad_time_s: float = 0.0
     narrow_time_s: float = 0.0
 
@@ -106,9 +107,11 @@ def _partial_ccd(
     toi: float,
     stats: CCDStats,
     collisions: Optional[List[Tuple[int, int, float]]],
+    ipc_refine: bool = False,
 ) -> float:
     """One simplex pairing: interleaved broad chunks + narrow solves
-    (``partial_ccd``, ``ccd.cu:45-76``)."""
+    (``partial_ccd``, ``ccd.cu:45-76``; with ``ipc_refine``,
+    ``partial_ipc_ccd_strategy``, ``ipc_ccd_strategy.cu:43-93``)."""
     mem = config.memory.scaled()
     buckets = mem.query_buckets
     dtype = config.jnp_dtype
@@ -130,15 +133,9 @@ def _partial_ccd(
             pair_chunk_size=mem.pair_chunk_size,
             max_pairs_per_box_chunk=mem.max_pairs_per_box_chunk,
         )
-    for pairs, count in chunks:
-        if count == 0:
-            continue
-        if is_vf:
-            stats.vf_candidates += count
-        else:
-            stats.ee_candidates += count
-
-        t0 = time.perf_counter()
+    def solve_chunk(pairs, count, toi, ms, max_iter, zero_ok):
+        """Narrow-solve one broad chunk's candidates (the inner loop of
+        ``narrow_phase<is_vf>``, ``narrow_phase.cu:136-195``)."""
         for chunk, n, b in _narrow_batches(pairs, count, buckets):
             overlaps = _pad_overlaps(chunk, n, b)
             valid = jnp.arange(b) < n
@@ -157,10 +154,10 @@ def _partial_ccd(
                 valid,
                 is_vf,
                 toi_init=toi,
-                ms=min_distance,
+                ms=ms,
                 tolerance=tolerance,
-                max_iterations=max_iterations,
-                allow_zero_toi=allow_zero_toi,
+                max_iterations=max_iter,
+                allow_zero_toi=zero_ok,
                 # per-pair collision output needs exact per-query TOIs
                 toi_per_query=config.toi_per_query or collisions is not None,
                 **kw,
@@ -177,12 +174,39 @@ def _partial_ccd(
             logger().debug(
                 "ToI after %s batch (%d queries): %e", "VF" if is_vf else "EE", n, toi
             )
-            # early exit, like the chunk loop's `&& toi > 0`
+            # early exit, like the narrow loop's `&& toi > 0`
             # (narrow_phase.cu:136); disabled when collecting per-pair TOIs
             if collisions is None and toi <= 0:
-                stats.narrow_time_s += time.perf_counter() - t0
                 return toi
+        return toi
+
+    for pairs, count in chunks:
+        if count == 0:
+            continue
+        if is_vf:
+            stats.vf_candidates += count
+        else:
+            stats.ee_candidates += count
+
+        t0 = time.perf_counter()
+        toi_before = toi
+        toi = solve_chunk(
+            pairs, count, toi, min_distance, max_iterations, allow_zero_toi
+        )
+        if ipc_refine and toi < 1e-6:
+            # IPC per-chunk refinement (ipc_ccd_strategy.cu:73-92): discard
+            # the too-early result, re-solve THIS chunk exactly (unbounded
+            # iterations, no minimum separation, zero TOI disallowed), and
+            # back off by 0.8 so the step stays strictly pre-contact.  The
+            # candidate set (built with ms-inflated boxes) is a conservative
+            # superset for the ms=0 re-solve.
+            logger().debug("IPC refinement: earliest_toi=%g, re-running chunk", toi)
+            stats.ipc_refinements += 1
+            toi = solve_chunk(pairs, count, toi_before, 0.0, -1, False)
+            toi *= 0.8
         stats.narrow_time_s += time.perf_counter() - t0
+        if collisions is None and toi <= 0:
+            return toi
     return toi
 
 
@@ -199,6 +223,7 @@ def ccd(
     collisions: Optional[List[Tuple[int, int, float]]] = None,
     stats: Optional[CCDStats] = None,
     validate: bool = True,
+    ipc_refine: bool = False,
 ):
     """Earliest time of impact over all vertex-face and edge-edge pairs.
 
@@ -238,14 +263,14 @@ def ccd(
             toi = _partial_ccd(
                 True, vertices_t0, vertices_t1, edges, faces, vf_sorted,
                 min_distance, max_iterations, tolerance, allow_zero_toi,
-                config, toi, stats, collisions,
+                config, toi, stats, collisions, ipc_refine,
             )
         with profiler().scope("ee_pipeline"):
             if collisions is not None or toi > 0:
                 toi = _partial_ccd(
                     False, vertices_t0, vertices_t1, edges, faces, ee_sorted,
                     min_distance, max_iterations, tolerance, allow_zero_toi,
-                    config, toi, stats, collisions,
+                    config, toi, stats, collisions, ipc_refine,
                 )
 
     return toi
@@ -266,24 +291,19 @@ def ipc_ccd_strategy(
     """The IPC [Li et al. 2020] stepping rule on top of the same pipeline.
 
     Mirrors ``cuda::ipc_ccd_strategy`` (``ipc_ccd_strategy.cu:43-93``): run
-    CCD with the minimum separation; if the earliest TOI lands below 1e-6
-    (the barrier would be violated immediately), discard it and re-run
-    *unbounded* with ms = 0 and zero TOI disallowed, then back off by
-    multiplying the result by 0.8 so the step stays strictly pre-contact.
+    CCD with the minimum separation; whenever a broad chunk's narrow solve
+    drops the running TOI below 1e-6 (the barrier would be violated
+    immediately), discard that result and re-solve *that chunk* unbounded
+    with ms = 0 and zero TOI disallowed, then back off by multiplying by
+    0.8 so the step stays strictly pre-contact — refinement is per chunk,
+    interleaved with the broad phase exactly like the reference
+    (``ipc_ccd_strategy.cu:73-92``), not a whole-scene re-run.
+    ``stats.ipc_refinements`` counts triggered refinements.
     """
     stats = stats if stats is not None else CCDStats()
-    toi = ccd(
+    return ccd(
         vertices_t0, vertices_t1, edges, faces,
         min_distance=min_distance, max_iterations=max_iterations,
         tolerance=tolerance, allow_zero_toi=True, config=config, stats=stats,
-        validate=validate,
+        validate=validate, ipc_refine=True,
     )
-    if toi < 1e-6:
-        logger().debug("IPC refinement: earliest_toi=%g, re-running exactly", toi)
-        toi = ccd(
-            vertices_t0, vertices_t1, edges, faces,
-            min_distance=0.0, max_iterations=-1, tolerance=tolerance,
-            allow_zero_toi=False, config=config, stats=stats, validate=False,
-        )
-        toi *= 0.8
-    return toi

@@ -155,3 +155,59 @@ class TestIPCStrategy:
             assert toi_ipc <= 0.8
         else:
             assert toi_ipc == pytest.approx(toi_plain, rel=1e-9)
+
+
+def test_ipc_refinement_is_per_chunk():
+    """The IPC rule re-solves only the offending broad chunk
+    (ipc_ccd_strategy.cu:73-92), not the whole scene: one early-contact
+    pair among many chunks triggers exactly one refinement, visible in
+    stats.ipc_refinements, and the result is 0.8 x the exact contact time."""
+    from scalable_ccd_tpu.geometry.mesh import edges_from_faces
+
+    # benign clusters: pairs of parallel triangles 0.12 apart, top one
+    # descending 0.03 -> candidates exist (boxes inflate by ms=0.05) but the
+    # closest approach stays 0.09 > ms, so no hit and no refinement there
+    tri = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    v0_parts, v1_parts, face_parts = [], [], []
+    nv = 0
+    for cx in (0.0, 10.0, 20.0, 30.0):
+        lo0 = tri + [cx, 0.0, 0.0]
+        hi0 = tri + [cx, 0.0, 0.12]
+        hi1 = tri + [cx, 0.0, 0.09]
+        v0_parts += [lo0, hi0]
+        v1_parts += [lo0, hi1]
+        face_parts += [np.arange(3) + nv, np.arange(3) + nv + 3]
+        nv += 6
+
+    # contact rig far along +x: static unit triangle + a vertex starting
+    # inside the 0.05 separation band (z=0.01) and crossing the plane at
+    # t = 0.01 / 0.03 = 1/3
+    rig0 = np.concatenate([tri, [[0.25, 0.25, 0.01]]]) + [100.0, 0.0, 0.0]
+    rig1 = rig0.copy()
+    rig1[3, 2] -= 0.03
+    v0_parts.append(rig0)
+    v1_parts.append(rig1)
+    face_parts.append(np.arange(3) + nv)
+
+    v0 = np.concatenate(v0_parts)
+    v1 = np.concatenate(v1_parts)
+    faces = np.stack(face_parts).astype(np.int32)
+    edges = edges_from_faces(faces)
+
+    cfg = CCDConfig(
+        dtype="float64",
+        memory=MemoryConfig(
+            box_chunk_size=8, pair_chunk_size=1 << 12,
+            query_buckets=(1 << 10,),
+        ),
+    )
+    stats = CCDStats()
+    toi = ipc_ccd_strategy(
+        v0, v1, edges, faces, min_distance=0.05, config=cfg, stats=stats,
+    )
+    assert stats.vf_candidates > 1  # benign chunks really had candidates
+    assert stats.ipc_refinements == 1
+    assert toi == pytest.approx(0.8 * (1.0 / 3.0), rel=1e-3)
+
+    # plain ccd with the same separation reports the immediate band contact
+    assert ccd(v0, v1, edges, faces, min_distance=0.05, config=cfg) < 1e-6
