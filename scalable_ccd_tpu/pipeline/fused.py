@@ -69,6 +69,7 @@ from scalable_ccd_tpu.ops.pallas_sweep import (
 
 __all__ = [
     "FusedCCDResult",
+    "FusedCollisionsResult",
     "detect_overlaps_fused",
     "fused_ccd",
     "fused_ccd_core",
@@ -85,6 +86,28 @@ class FusedCCDResult(NamedTuple):
     vf_total: jax.Array
     #: () int32 — surviving EE candidate pairs (clamped to the pair budget)
     ee_total: jax.Array
+
+
+class FusedCollisionsResult(NamedTuple):
+    """Fused result plus per-pair hits — the reference's
+    ``SCALABLE_CCD_TOI_PER_QUERY`` output (``narrow_phase.cu:197-202``:
+    ``thrust::copy_if(toi < 1)`` into a host collision list) from the
+    single-dispatch pipeline.  Hit buffers are budget-sized with the valid
+    prefix length in ``*_hit_count``."""
+
+    toi: jax.Array
+    overflowed: jax.Array
+    vf_total: jax.Array
+    ee_total: jax.Array
+    #: (vf_budget+, 2) int32 (vertex_id, face_id), hits compacted to front
+    vf_hits: jax.Array
+    #: (vf_budget+,) exact per-pair TOI for the compacted hits
+    vf_hit_toi: jax.Array
+    #: () int32 number of valid rows in vf_hits
+    vf_hit_count: jax.Array
+    ee_hits: jax.Array
+    ee_hit_toi: jax.Array
+    ee_hit_count: jax.Array
 
 
 def _sweep_compact(
@@ -338,8 +361,17 @@ def _phase(
     axis_name: Optional[str],
     solver: str = "bfs",
     sweep_impl: str = "xla",
+    collect: bool = False,
 ):
-    """One simplex pairing (VF two-list or EE one-list) at fixed budgets."""
+    """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
+
+    With ``collect``, also returns the per-pair hits: the solver runs in
+    exact per-query mode (the reference's TOI_PER_QUERY build, where each
+    query prunes only against its own ``data_in.toi``, ``root_finder.cu:297``)
+    and each batch's exact TOIs are written back over the dense pair buffer
+    with one contiguous update; hits (toi < 1) are sort-compacted at the end
+    — the functional ``thrust::copy_if`` (``narrow_phase.cu:197-202``).
+    """
     n = sorted_boxes.n
     k = count_major_runs(sorted_boxes, jnp.int32(0), n)
 
@@ -350,6 +382,57 @@ def _phase(
     )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
+
+    def run_solver(chunk, keep, toi):
+        if is_vf:
+            q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype)
+        else:
+            q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype)
+        if solver == "bfs":
+            return find_roots_bfs(
+                q, keep, is_vf,
+                toi_init=toi, ms=ms, tolerance=tolerance,
+                max_iterations=max_iterations,
+                allow_zero_toi=allow_zero_toi,
+                toi_per_query=collect,
+            )
+        return find_roots(
+            q, keep, is_vf,
+            toi_init=toi, ms=ms, tolerance=tolerance,
+            max_iterations=max_iterations,
+            allow_zero_toi=allow_zero_toi,
+            stack_capacity=stack_capacity,
+            toi_per_query=collect,
+        )
+
+    if collect:
+        P = pairs.shape[0]
+        pq0 = jnp.full((P,), jnp.inf, dtype)
+
+        def cond(st):
+            step, toi, pq = st
+            # no `toi > 0` early exit: every pair's exact TOI is needed
+            # (the chunked pipeline disables it the same way)
+            return step * batch < n_pairs
+
+        def body(st):
+            step, toi, pq = st
+            start = step * batch
+            chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
+            keep = (start + lane) < n_pairs
+            res = run_solver(chunk, keep, toi)
+            pq = jax.lax.dynamic_update_slice_in_dim(
+                pq, res.per_query_toi.astype(dtype), start, axis=0
+            )
+            return step + 1, jnp.minimum(toi, res.toi), pq
+
+        _, toi, pq = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), toi_in, pq0)
+        )
+        slot = jnp.arange(P, dtype=jnp.int32)
+        hit = (pq < 1.0) & (slot < n_pairs)
+        n_hits, h_pairs, h_toi = compact_rows(hit, pairs, pq)
+        return toi, n_pairs, overflow, h_pairs, h_toi, n_hits
 
     def cond(st):
         step, toi = st
@@ -362,25 +445,7 @@ def _phase(
         start = step * batch
         chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
         keep = (start + lane) < n_pairs
-        if is_vf:
-            q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype)
-        else:
-            q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype)
-        if solver == "bfs":
-            res = find_roots_bfs(
-                q, keep, is_vf,
-                toi_init=toi, ms=ms, tolerance=tolerance,
-                max_iterations=max_iterations,
-                allow_zero_toi=allow_zero_toi,
-            )
-        else:
-            res = find_roots(
-                q, keep, is_vf,
-                toi_init=toi, ms=ms, tolerance=tolerance,
-                max_iterations=max_iterations,
-                allow_zero_toi=allow_zero_toi,
-                stack_capacity=stack_capacity,
-            )
+        res = run_solver(chunk, keep, toi)
         return step + 1, jnp.minimum(toi, res.toi)
 
     _, toi = jax.lax.while_loop(cond, body, (jnp.int32(0), toi_in))
@@ -414,6 +479,7 @@ def fused_ccd_core(
     sweep_impl: str = "xla",
     axis_name: Optional[str] = None,
     solver: str = "bfs",
+    collect: bool = False,
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
 
@@ -452,6 +518,26 @@ def fused_ccd_core(
         sweep_impl=sweep_impl,
     )
     toi0 = jnp.asarray(1.0, dtype)
+    if collect:
+        if axis_name is not None:
+            raise ValueError(
+                "per-pair collision collection is single-chip only; gather "
+                "hits per shard outside shard_map instead"
+            )
+        toi1, vf_total, vf_over, vf_hits, vf_htoi, vf_n = _phase(
+            vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
+            toi_in=toi0, collect=True, **common,
+        )
+        toi2, ee_total, ee_over, ee_hits, ee_htoi, ee_n = _phase(
+            ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
+            toi_in=toi1, collect=True, **common,
+        )
+        return FusedCollisionsResult(
+            toi=toi2, overflowed=vf_over | ee_over,
+            vf_total=vf_total, ee_total=ee_total,
+            vf_hits=vf_hits, vf_hit_toi=vf_htoi, vf_hit_count=vf_n,
+            ee_hits=ee_hits, ee_hit_toi=ee_htoi, ee_hit_count=ee_n,
+        )
     toi1, vf_total, vf_over = _phase(
         vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
         toi_in=toi0, **common,
@@ -482,6 +568,7 @@ def fused_ccd_core(
         "sweep_axis",
         "sweep_impl",
         "solver",
+        "collect",
     ),
 )
 def _fused_ccd_jit(
@@ -505,6 +592,7 @@ def _fused_ccd_jit(
     sweep_axis=0,
     sweep_impl: str = "xla",
     solver: str = "bfs",
+    collect: bool = False,
 ) -> FusedCCDResult:
     return fused_ccd_core(
         vertices_t0,
@@ -528,6 +616,7 @@ def _fused_ccd_jit(
         sweep_impl=sweep_impl,
         axis_name=None,
         solver=solver,
+        collect=collect,
     )
 
 
@@ -537,6 +626,7 @@ def fused_ccd(
     edges,
     faces,
     validate: bool = True,
+    collisions: Optional[list] = None,
     **kwargs,
 ) -> FusedCCDResult:
     """Single-chip fused CCD: one dispatch for the whole two-frame query.
@@ -548,9 +638,39 @@ def fused_ccd(
     NaN/inf vertices and malformed connectivity before entering the jitted
     program (one device reduction + scalar fetch; pass False in per-frame
     inner loops that validated the mesh once).
+
+    Pass a ``collisions`` list to also collect per-pair ``(id_a, id_b,
+    toi)`` hits — the reference's ``SCALABLE_CCD_TOI_PER_QUERY`` output
+    (``ccd.cuh:35-37``, ``narrow_phase.cu:197-202``) from the same fused
+    pipeline; the solver then runs in exact per-query mode (slower than
+    the globally-pruned default).  VF hits are (vertex_id, face_id), EE
+    hits (edge_id, edge_id); same convention as the chunked
+    :func:`scalable_ccd_tpu.pipeline.ccd`.
     """
     if validate:
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
 
         validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces)
-    return _fused_ccd_jit(vertices_t0, vertices_t1, edges, faces, **kwargs)
+    if collisions is None:
+        return _fused_ccd_jit(vertices_t0, vertices_t1, edges, faces, **kwargs)
+
+    import numpy as np
+
+    res = _fused_ccd_jit(
+        vertices_t0, vertices_t1, edges, faces, collect=True, **kwargs
+    )
+    for hits, tois, count in (
+        (res.vf_hits, res.vf_hit_toi, res.vf_hit_count),
+        (res.ee_hits, res.ee_hit_toi, res.ee_hit_count),
+    ):
+        n = int(count)
+        if n:
+            h = np.asarray(hits[:n])
+            t = np.asarray(tois[:n])
+            collisions.extend(
+                (int(a), int(b), float(ti)) for (a, b), ti in zip(h, t)
+            )
+    return FusedCCDResult(
+        toi=res.toi, overflowed=res.overflowed,
+        vf_total=res.vf_total, ee_total=res.ee_total,
+    )

@@ -109,3 +109,49 @@ def test_fused_many_narrow_batches_matches(scene=None):
     assert float(small.toi) == float(big.toi)
     assert int(small.vf_total) == int(big.vf_total)
     assert int(small.ee_total) == int(big.ee_total)
+
+
+class TestFusedCollisions:
+    def test_matches_chunked_collisions(self, scene):
+        """Per-pair hits from the fused pipeline (TOI_PER_QUERY mode,
+        narrow_phase.cu:197-202) must equal the chunked pipeline's."""
+        from scalable_ccd_tpu.config import CCDConfig
+
+        fused_hits = []
+        res = fused_ccd(
+            *_args(scene), vf_budget=1 << 15, ee_budget=1 << 15,
+            dtype=jnp.float64, collisions=fused_hits,
+        )
+        assert not bool(res.overflowed)
+        assert len(fused_hits) > 0
+
+        chunked_hits = []
+        toi_c = ccd(
+            scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+            config=CCDConfig(dtype="float64", toi_per_query=True),
+            collisions=chunked_hits,
+        )
+
+        def as_map(hits):
+            return {(a, b): t for a, b, t in hits}
+
+        fm, cm = as_map(fused_hits), as_map(chunked_hits)
+        assert set(fm) == set(cm)
+        for key in fm:
+            assert fm[key] == pytest.approx(cm[key], rel=1e-12, abs=1e-300)
+
+        # global toi is the min over per-pair hits (test_narrow_phase.cu:59-63)
+        tois = np.array([t for _, _, t in fused_hits])
+        assert float(res.toi) == pytest.approx(float(tois.min()), rel=1e-12)
+        assert float(res.toi) == pytest.approx(toi_c, rel=1e-12)
+
+    def test_no_hits_scene(self):
+        """Far-apart static objects: empty collision list, toi=1."""
+        soup = triangle_soup(n_triangles=6, motion=0.0, seed=2)
+        hits = []
+        res = fused_ccd(
+            *_args(soup), vf_budget=1 << 10, ee_budget=1 << 10,
+            dtype=jnp.float64, collisions=hits,
+        )
+        assert hits == []
+        assert float(res.toi) == 1.0
