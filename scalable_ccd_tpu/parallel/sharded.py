@@ -60,8 +60,8 @@ def make_sharded_ccd(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 2048,
-    sweep_batch: int = 1 << 14,
-    sweep_window: int = 4,
+    sweep_batch: int = 1 << 17,
+    sweep_window: int = 32,
     shift_cap: int = 1 << 13,
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.

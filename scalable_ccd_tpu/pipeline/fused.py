@@ -131,9 +131,10 @@ def _sweep_compact(
     ``i + s`` for a window of ``sweep_window`` shifts via
     :func:`shifted_pair_filters` (contiguous slices + VPU compares — the
     gather-based decode costs ~10 ms per million pairs on v5e, the
-    shift-block form well under 1 ms).  Steps whose tile has no run long
-    enough for the block's shifts are skipped with ``lax.cond``, so total
-    work is ``sum_tiles(box_tile * max_run_in_tile)``.
+    shift-block form well under 1 ms).  The step space is the exact
+    per-tile work list ``sum_tiles(ceil(max_run_in_tile / W))`` (a scalar
+    binary search maps step -> (tile, block)), so no loop iteration is
+    spent on a (tile, block) with no live shifts.
 
     Returns ``(pairs, n_pairs, overflow)``: an int32 buffer whose first
     ``n_pairs`` rows are surviving element-id pairs, and an overflow flag
@@ -166,12 +167,18 @@ def _sweep_compact(
     k_padded = jnp.concatenate(
         [k, jnp.zeros((boxes.element_id.shape[0] - n,), k.dtype)]
     )
-    # per-tile max run length -> per-tile shift-block count
+    # per-tile max run length -> per-tile shift-block count.  The step space
+    # is the exact work list sum(ceil(tile_max_k / W)) — tiles with short
+    # runs contribute few steps, so skew in run lengths costs only its own
+    # tiles (the earlier design iterated the global max block count over
+    # every tile and cond-skipped dead steps, paying loop-body overhead for
+    # each; see PERF.md).
     k_tiles = jax.lax.dynamic_slice_in_dim(k_padded, shard_base, n_tiles * B)
     tile_max_k = jnp.max(k_tiles.reshape(n_tiles, B), axis=1)
     tile_max_k = jnp.minimum(tile_max_k, jnp.int32(shift_cap))
-    n_blocks = (jnp.max(tile_max_k) + W - 1) // W
-    total_steps = n_blocks * n_tiles
+    blocks_per_tile = (tile_max_k + W - 1) // W
+    block_prefix = jnp.cumsum(blocks_per_tile)  # (n_tiles,) inclusive
+    total_steps = block_prefix[-1] if n_tiles > 0 else jnp.int32(0)
     # NOTE: a coarse (tile, block) liveness pass from windowed minor-bound
     # unions was tried here and removed: on dense contact scenes it prunes
     # <3% of steps (window unions are too loose) while its own loop costs
@@ -188,6 +195,8 @@ def _sweep_compact(
     pairs0 = jnp.full(
         (pair_budget + max(block_rows, slack), 2), jnp.int32(-(2**31) + 1)
     )
+    if n_tiles == 0:  # empty shard range: nothing to sweep
+        return pairs0, jnp.int32(0), jnp.zeros((), bool)
 
     def cond(st):
         step, _, _, _ = st
@@ -195,27 +204,35 @@ def _sweep_compact(
 
     def body(st):
         step, wp, pairs, of = st
-        block = step // n_tiles
-        tile = step - block * n_tiles
+        # step -> (tile, block) through the exact work list: the tile is the
+        # first prefix entry exceeding step (scalar binary search), the
+        # block the remainder within that tile.
+        tile = jnp.searchsorted(block_prefix, step, side="right").astype(jnp.int32)
+        tile_c = jnp.minimum(tile, jnp.int32(max(n_tiles - 1, 0)))
+        excl = jnp.where(tile_c > 0, block_prefix[jnp.maximum(tile_c - 1, 0)], 0)
+        block = step - excl
         shift0 = block * W
-        box_start = shard_base + tile * B
-        live = shift0 < tile_max_k[tile]
+        box_start = shard_base + tile_c * B
 
-        def enumerate_block(args):
+        if sweep_impl == "pallas":
+            first, second, keep = pallas_shifted_pair_filters(
+                packed_f, packed_i, box_start, shift0, shard_base + n_my,
+                box_tile=B, window=W, is_two_lists=is_vf,
+            )
+        else:
+            first, second, keep = shifted_pair_filters(
+                boxes, k_padded, box_start, B, shift0, W,
+                is_two_lists=is_vf, box_limit=shard_base + n_my,
+            )
+        # Survivors are sparse (typically < 1% of slots; most steps have
+        # none at all), while the sort that compacts them costs ~0.5 ms per
+        # 128k-row block — so count first (a cheap reduction) and only run
+        # the sort + append on steps that actually produced survivors.
+        nkeep = jnp.sum(keep).astype(jnp.int32)
+
+        def append(args):
             wp, pairs, of = args
-            if sweep_impl == "pallas":
-                first, second, keep = pallas_shifted_pair_filters(
-                    packed_f, packed_i, box_start, shift0, shard_base + n_my,
-                    box_tile=B, window=W, is_two_lists=is_vf,
-                )
-            else:
-                first, second, keep = shifted_pair_filters(
-                    boxes, k_padded, box_start, B, shift0, W,
-                    is_two_lists=is_vf, box_limit=shard_base + n_my,
-                )
-            # compact survivors, append at the write pointer (sort +
-            # contiguous copy; scatters are ~40 ns/row on TPU)
-            nkeep, blk = compact_rows(keep, jnp.stack([first, second], axis=1))
+            _, blk = compact_rows(keep, jnp.stack([first, second], axis=1))
             of = of | (wp + nkeep > pair_budget)
             wp_c = jnp.minimum(wp, jnp.int32(pair_budget))
             pairs = jax.lax.dynamic_update_slice_in_dim(pairs, blk, wp_c, axis=0)
@@ -223,7 +240,7 @@ def _sweep_compact(
             return wp, pairs, of
 
         wp, pairs, of = jax.lax.cond(
-            live, enumerate_block, lambda a: a, (wp, pairs, of)
+            nkeep > 0, append, lambda a: a, (wp, pairs, of)
         )
         return step + 1, wp, pairs, of
 
@@ -248,8 +265,8 @@ def detect_overlaps_fused(
     sorted_boxes,
     is_two_lists: bool,
     pair_budget: int = 1 << 20,
-    sweep_batch: int = 1 << 14,
-    sweep_window: int = 4,
+    sweep_batch: int = 1 << 17,
+    sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
 ):
@@ -296,8 +313,8 @@ def sweep_chunks_fast(
     is_two_lists: bool,
     box_chunk_size: int = 1 << 15,
     pair_budget: int = 1 << 20,
-    sweep_batch: int = 1 << 14,
-    sweep_window: int = 4,
+    sweep_batch: int = 1 << 17,
+    sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
     n_real_boxes: Optional[int] = None,
@@ -471,8 +488,8 @@ def fused_ccd_core(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 2048,
-    sweep_batch: int = 1 << 14,
-    sweep_window: int = 4,
+    sweep_batch: int = 1 << 17,
+    sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
     sweep_axis=0,
@@ -585,8 +602,8 @@ def _fused_ccd_jit(
     dtype=jnp.float32,
     stack_capacity: int = 96,
     narrow_batch: int = 2048,
-    sweep_batch: int = 1 << 14,
-    sweep_window: int = 4,
+    sweep_batch: int = 1 << 17,
+    sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     max_sweep_steps: int = 1 << 22,
     sweep_axis=0,
