@@ -1,0 +1,442 @@
+"""Pallas TPU kernel: tight-inclusion root-finder, per-query in-VMEM DFS.
+
+Hardware kernel for the narrow phase's hot loop, replacing the XLA
+stack-queue solver (:func:`scalable_ccd_tpu.narrow_phase.bfs.find_roots_bfs`)
+on the global-mode fast path.  The reference's equivalent is ``ccd_kernel``
+(``src/scalable_ccd/cuda/narrow_phase/root_finder.cu:277-370``): one CUDA
+thread per (t,u,v) domain pulled from a global ring buffer, ``atomicMin`` on
+the shared TOI.  The XLA formulation pays ~2 HBM row-gathers per domain
+evaluation (query-data fetch + compaction permute, ~10 ns each — measured,
+PERF.md), which bounds it to ~22 ns/eval.  This kernel keeps everything in
+VMEM:
+
+- Each grid step owns a block of ``8*128`` queries laid out as the VPU's
+  native ``(8, 128)`` vector registers; all per-query state (current domain,
+  stack pointer, flags) lives in vector registers / VMEM.
+- Each query runs its own depth-first bisection with a **compressed stack**:
+  descending into a child modifies exactly one domain bound, so a stack
+  level stores only {replaced bound value (f32), split dim, side,
+  pending-sibling flag (packed i32)} instead of the full 6-float domain.
+  Push/pop address the per-lane depth with an unrolled one-hot select over
+  the depth axis (Mosaic has no per-lane dynamic addressing).
+- The running TOI is shared at three scopes, mirroring the reference's
+  ``atomicMin`` visibility: lanes of a block share it every round; blocks
+  share it through an SMEM scratch accumulator that persists across the
+  sequential grid; batches share it through ``toi_init``.
+- Conservative-accept on stack overflow and on the round cap (the
+  reference's overflow protocol, ``narrow_phase.cu:146-195``, collapsed to
+  "report an earlier time, never drop"): a per-lane running minimum of all
+  pending siblings' earliest times makes the round-cap accept safe.
+
+Acceptance conditions, feasibility culls, tolerance/error semantics are
+identical to ``find_roots`` / ``find_roots_bfs`` (and to ``ccd_kernel``,
+``root_finder.cu:311-368``); tolerances and error bounds are computed once
+in XLA and shipped in the packed query rows.  Global-mode only
+(``toi_per_query=False``, unbounded iterations) — exact per-query modes
+stay on the XLA solvers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scalable_ccd_tpu.narrow_phase.types import (
+    CCDQueries,
+    compute_tolerance,
+    numerical_error_bound,
+)
+
+__all__ = ["pallas_find_roots", "PALLAS_SOLVER_BLOCK"]
+
+#: queries per grid step: one (sublane, lane) vreg plane
+_SUB, _LANE = 8, 128
+PALLAS_SOLVER_BLOCK = _SUB * _LANE
+
+#: per-lane DFS depth; deeper pushes conservative-accept (tol=1e-6 needs
+#: ~60 levels worst case across 3 dims; 64 covers it, and overflow is safe)
+_DEPTH = 64
+
+#: round cap per block; leftovers conservative-accept via the pending-min
+_MAX_ROUNDS = 1 << 14
+
+# meta bit layout
+_DIM_MASK = 3
+_SIDE_HI = 4  # set: the saved value is the old *upper* bound of `dim`
+_PENDING = 8  # set: a sibling (child2) is still to be explored
+
+
+def _onehot_read(ref, idx, mask, depth, unroll):
+    """read ref[idx[lane]] per lane via a one-hot select over the depth axis
+    (Mosaic has no per-lane dynamic addressing).
+
+    Both forms compute identical row selects; the unrolled form is ~5x
+    faster on hardware (vector code, no scalar loop), while the fori form
+    keeps the trace ~50x smaller — essential in interpret mode, where the
+    unrolled graph takes minutes to compile on CPU.
+    """
+    if unroll:
+        out = jnp.zeros((_SUB, _LANE), ref.dtype)
+        for d in range(depth):
+            out = jnp.where(mask & (idx == d), ref[d, :, :], out)
+        return out
+
+    def body(d, out):
+        return jnp.where(mask & (idx == d), ref[d, :, :], out)
+
+    return jax.lax.fori_loop(
+        0, depth, body, jnp.zeros((_SUB, _LANE), ref.dtype)
+    )
+
+
+def _onehot_write(ref, idx, mask, value, depth, unroll):
+    """ref[idx[lane]] = value per lane via one-hot row updates."""
+    if unroll:
+        for d in range(depth):
+            m = mask & (idx == d)
+            ref[d, :, :] = jnp.where(m, value, ref[d, :, :])
+        return
+
+    def body(d, _):
+        m = mask & (idx == d)
+        ref[d, :, :] = jnp.where(m, value, ref[d, :, :])
+        return 0
+
+    jax.lax.fori_loop(0, depth, body, 0)
+
+
+def _solver_kernel(
+    qp_ref,      # (31, 8, 128) f32 packed queries for this block
+    valid_ref,   # (8, 128) i32 validity mask
+    toi0_ref,    # (1, 1) f32 SMEM: initial TOI bound for the whole call
+    cotol_ref,   # (1, 1) f32 SMEM: co-domain tolerance
+    toi_out_ref,     # (1, 1) f32 SMEM out per block: running TOI after block
+    ovf_out_ref,     # (1, 1) i32 SMEM out per block: overflow flag
+    checks_out_ref,  # (1, 1) i32 SMEM out per block: domains evaluated
+    stack_val,   # VMEM (D, 8, 128) f32 scratch
+    stack_meta,  # VMEM (D, 8, 128) i32 scratch
+    toi_run,     # SMEM (1, 1) f32 scratch, persists across the grid
+    *,
+    is_vf: bool,
+    allow_zero_toi: bool,
+    unroll: bool,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        toi_run[0, 0] = toi0_ref[0, 0]
+
+    q = [qp_ref[0, i] for i in range(31)]  # 31 planes of (8, 128)
+    # field order matches the packing in pallas_find_roots below
+    p = q[0:24]   # p0s xyz, p1s, p2s, p3s, p0e, p1e, p2e, p3e
+    tol = q[24:27]
+    err = q[27:30]
+    ms = q[30]
+    co_tol = cotol_ref[0, 0]
+    eps = jnp.finfo(jnp.float32).eps
+    uv_limit = jnp.float32(1.0) / (jnp.float32(1.0) - eps)
+    inf = jnp.float32(jnp.inf)
+
+    def corners_minmax(lo, hi):
+        """min/max of F over the 8 corners of the (t,u,v) box, per xyz dim.
+
+        Same association order as ``domain_corners``
+        (``narrow_phase/types.py``) so rounding matches the XLA solvers.
+        """
+        cmin = [None] * 3
+        cmax = [None] * 3
+        for t in (lo[0], hi[0]):
+            # lerp the four points at this t corner
+            lerp = []
+            for pi in range(4):
+                for d in range(3):
+                    ps = p[3 * pi + d]
+                    pe = p[12 + 3 * pi + d]
+                    lerp.append((pe - ps) * t + ps)
+            for d in range(3):
+                p0, p1_, p2, p3 = lerp[d], lerp[3 + d], lerp[6 + d], lerp[9 + d]
+                if is_vf:
+                    a = p2 - p1_   # t1 - t0
+                    b = p3 - p1_   # t2 - t0
+                    for u in (lo[1], hi[1]):
+                        for v in (lo[2], hi[2]):
+                            f = p0 - a * u - b * v - p1_
+                            cmin[d] = f if cmin[d] is None else jnp.minimum(cmin[d], f)
+                            cmax[d] = f if cmax[d] is None else jnp.maximum(cmax[d], f)
+                else:
+                    a = p1_ - p0   # a1 - a0
+                    b = p3 - p2   # b1 - b0
+                    for u in (lo[1], hi[1]):
+                        for v in (lo[2], hi[2]):
+                            f = (a * u + p0) - (b * v + p2)
+                            cmin[d] = f if cmin[d] is None else jnp.minimum(cmin[d], f)
+                            cmax[d] = f if cmax[d] is None else jnp.maximum(cmax[d], f)
+        return cmin, cmax
+
+    valid = valid_ref[0] != 0
+
+    def body(state):
+        (lo0, lo1, lo2, hi0, hi1, hi2, sp, cur_ok_i, pend_min, toi_blk,
+         checks, ovf_i, rounds) = state
+        # Mosaic cannot carry i1 vectors through scf.while — flags ride as i32
+        cur_ok = cur_ok_i != 0
+        lo = (lo0, lo1, lo2)
+        hi = (hi0, hi1, hi2)
+
+        bound = jnp.minimum(toi_blk, toi_run[0, 0])
+        min_t = lo0
+        pruned = min_t >= bound
+        active = cur_ok
+        checks = checks + jnp.sum(active, dtype=jnp.int32)
+
+        cmin, cmax = corners_minmax(lo, hi)
+        miss = jnp.zeros_like(active)
+        box_in = jnp.ones_like(active)
+        true_tol = jnp.float32(0.0)
+        for d in range(3):
+            miss = miss | (cmin[d] - ms > err[d]) | (cmax[d] + ms < -err[d])
+            box_in = box_in & ~((cmin[d] + ms < -err[d]) | (cmax[d] - ms > err[d]))
+            true_tol = jnp.maximum(true_tol, cmax[d] - cmin[d])
+        true_tol = jnp.maximum(true_tol, 0.0)
+        hit = ~miss
+
+        w = [hi[d] - lo[d] for d in range(3)]
+        if allow_zero_toi:
+            pos_ok = jnp.ones_like(active)
+        else:
+            pos_ok = min_t > 0
+        cond1 = (w[0] <= tol[0]) & (w[1] <= tol[1]) & (w[2] <= tol[2])
+        cond2 = box_in & pos_ok
+        cond3 = (true_tol <= co_tol) & pos_ok
+
+        # split dim: argmax of widths/tol, first index on ties
+        r = [w[d] / tol[d] for d in range(3)]
+        d0 = (r[0] >= r[1]) & (r[0] >= r[2])
+        d1 = ~d0 & (r[1] >= r[2])
+        split = jnp.where(d0, 0, jnp.where(d1, 1, 2))
+        s_lo = jnp.where(d0, lo0, jnp.where(d1, lo1, lo2))
+        s_hi = jnp.where(d0, hi0, jnp.where(d1, hi1, hi2))
+        mid = (s_lo + s_hi) * jnp.float32(0.5)
+        degenerate = (s_lo >= mid) | (mid >= s_hi)
+
+        live = active & ~pruned & hit
+        accept = live & (cond1 | cond2 | cond3 | degenerate)
+        want_split = live & ~accept
+        stack_full = sp >= _DEPTH
+        ovf_now = want_split & stack_full
+        accept = accept | ovf_now          # conservative accept
+        do_split = want_split & ~stack_full
+        ovf_i = ovf_i | jnp.any(ovf_now).astype(jnp.int32)
+
+        acc_t = jnp.where(accept, min_t, inf)
+        toi_blk = jnp.minimum(toi_blk, jnp.min(acc_t))
+
+        # ---- split lanes: save the replaced upper bound, descend child1 --
+        is_t = split == 0
+        if is_vf:
+            other = jnp.where(split == 1, lo2, lo1)
+            push2_ok = (is_t & (mid <= bound)) | (
+                ~is_t & ((mid + other) <= uv_limit)
+            )
+        else:
+            push2_ok = ~is_t | (mid <= bound)
+        meta = split + jnp.where(push2_ok, _SIDE_HI | _PENDING, _SIDE_HI)
+        _onehot_write(stack_val, sp, do_split, s_hi, _DEPTH, unroll)
+        _onehot_write(stack_meta, sp, do_split, meta, _DEPTH, unroll)
+        # pending child2's earliest time: mid if the split dim is t, else lo_t
+        child2_t = jnp.where(split == 0, mid, lo0)
+        pend_min = jnp.where(do_split & push2_ok,
+                             jnp.minimum(pend_min, child2_t), pend_min)
+        hi0 = jnp.where(do_split & (split == 0), mid, hi0)
+        hi1 = jnp.where(do_split & (split == 1), mid, hi1)
+        hi2 = jnp.where(do_split & (split == 2), mid, hi2)
+        sp = sp + do_split.astype(jnp.int32)
+
+        # ---- finished lanes unwind (up to 2 levels per round) ------------
+        # a lane unwinds if its current domain just completed (accept,
+        # prune, or miss) or if it was already mid-unwind from an earlier
+        # round (cur_ok False but stack nonempty)
+        finish = active & (pruned | ~hit | accept)
+        cur_ok = cur_ok & ~finish  # splitters keep their child1 current
+        unwind = finish | (~cur_ok & (sp > 0))
+        for _ in range(2):
+            can = unwind & (sp > 0)
+            at = jnp.maximum(sp - 1, 0)
+            val = _onehot_read(stack_val, at, can, _DEPTH, unroll)
+            m = _onehot_read(stack_meta, at, can, _DEPTH, unroll)
+            dim = m & _DIM_MASK
+            side_hi = (m & _SIDE_HI) != 0
+            pending = (m & _PENDING) != 0
+            # restore the replaced bound (remember the old value: for a
+            # pending HI entry it is the sibling's new lower bound)
+            old_hi = jnp.where(dim == 0, hi0, jnp.where(dim == 1, hi1, hi2))
+            old_lo = jnp.where(dim == 0, lo0, jnp.where(dim == 1, lo1, lo2))
+            r_hi = can & side_hi
+            r_lo = can & ~side_hi
+            hi0 = jnp.where(r_hi & (dim == 0), val, hi0)
+            hi1 = jnp.where(r_hi & (dim == 1), val, hi1)
+            hi2 = jnp.where(r_hi & (dim == 2), val, hi2)
+            lo0 = jnp.where(r_lo & (dim == 0), val, lo0)
+            lo1 = jnp.where(r_lo & (dim == 1), val, lo1)
+            lo2 = jnp.where(r_lo & (dim == 2), val, lo2)
+            # enter the pending sibling: its lower bound is the old upper
+            # bound (the mid); reuse the entry to save our old lower bound
+            enter = can & pending & side_hi
+            lo0 = jnp.where(enter & (dim == 0), old_hi, lo0)
+            lo1 = jnp.where(enter & (dim == 1), old_hi, lo1)
+            lo2 = jnp.where(enter & (dim == 2), old_hi, lo2)
+            _onehot_write(stack_val, at, enter, old_lo, _DEPTH, unroll)
+            _onehot_write(stack_meta, at, enter, dim, _DEPTH, unroll)
+            # non-pending: this level is fully unwound
+            sp = sp - (can & ~enter).astype(jnp.int32)
+            cur_ok = cur_ok | enter
+            unwind = unwind & ~enter
+        # lanes still unwinding (cur_ok False, sp>0) resume next round
+
+        return (lo0, lo1, lo2, hi0, hi1, hi2, sp,
+                cur_ok.astype(jnp.int32), pend_min,
+                toi_blk, checks, ovf_i, rounds + 1)
+
+    def cond(state):
+        sp, cur_ok_i = state[6], state[7]
+        rounds = state[12]
+        return jnp.any((cur_ok_i != 0) | (sp > 0)) & (rounds < _MAX_ROUNDS)
+
+    zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+    one = jnp.ones((_SUB, _LANE), jnp.float32)
+    state = (
+        zero, zero, zero, one, one, one,
+        jnp.zeros((_SUB, _LANE), jnp.int32),
+        valid.astype(jnp.int32),
+        jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),
+        toi_run[0, 0],
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    (lo0, _, _, _, _, _, sp, cur_ok_i, pend_min, toi_blk, checks, ovf_i, _) = state
+    cur_ok = cur_ok_i != 0
+
+    # round cap: conservative-accept whatever is still alive or pending.
+    # pend_min is monotone (never raised on pop), so it is a valid lower
+    # bound for every unexplored sibling — stale-low is conservative.
+    leftover = cur_ok | (sp > 0)
+    left_t = jnp.where(
+        cur_ok, jnp.minimum(lo0, pend_min),
+        jnp.where(sp > 0, pend_min, jnp.float32(jnp.inf)),
+    )
+    capped = jnp.any(leftover)
+    toi_blk = jnp.where(capped, jnp.minimum(toi_blk, jnp.min(left_t)), toi_blk)
+    ovf_i = ovf_i | capped.astype(jnp.int32)
+
+    toi_new = jnp.minimum(toi_run[0, 0], toi_blk)
+    toi_run[0, 0] = toi_new
+    i = pl.program_id(0)
+    toi_out_ref[i, 0] = toi_new
+    ovf_out_ref[i, 0] = ovf_i
+    checks_out_ref[i, 0] = checks
+
+
+def _pack_queries(queries: CCDQueries, tol, err, ms_arr, n_blocks):
+    """(Q, 31) packed rows -> (n_blocks, 31, 8, 128) block planes."""
+    qpack = jnp.concatenate(
+        [queries.p0s, queries.p1s, queries.p2s, queries.p3s,
+         queries.p0e, queries.p1e, queries.p2e, queries.p3e,
+         tol, err, ms_arr[:, None]],
+        axis=1,
+    ).astype(jnp.float32)  # (Q, 31)
+    total = n_blocks * PALLAS_SOLVER_BLOCK
+    pad = total - qpack.shape[0]
+    if pad:
+        qpack = jnp.concatenate([qpack, jnp.zeros((pad, 31), jnp.float32)])
+    return jnp.transpose(
+        qpack.reshape(n_blocks, _SUB, _LANE, 31), (0, 3, 1, 2)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("is_vf", "allow_zero_toi", "interpret"),
+)
+def pallas_find_roots(
+    queries: CCDQueries,
+    valid: jax.Array,
+    is_vf: bool,
+    toi_init,
+    ms,
+    tolerance,
+    allow_zero_toi: bool = True,
+    interpret: bool = False,
+):
+    """Global-mode batched earliest-TOI solve on the TPU kernel.
+
+    Same contract as ``find_roots_bfs(..., toi_per_query=False,
+    max_iterations=-1)``: returns ``(toi, overflowed, total_checks)`` where
+    ``toi`` is min(toi_init, earliest accepted time) and overflow means a
+    conservative accept was taken somewhere (result valid, possibly early).
+    """
+    dt = jnp.float32
+    Q = queries.n
+    n_blocks = -(-Q // PALLAS_SOLVER_BLOCK)
+
+    ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
+    err = jnp.where(
+        jnp.any(ms_arr > 0),
+        numerical_error_bound(queries, is_vf, True),
+        numerical_error_bound(queries, is_vf, False),
+    )
+    tol = compute_tolerance(queries, is_vf, tolerance)
+    qp = _pack_queries(queries, tol, err, ms_arr, n_blocks)
+
+    total = n_blocks * PALLAS_SOLVER_BLOCK
+    v = jnp.zeros((total,), jnp.int32).at[: Q].set(valid.astype(jnp.int32))
+    v = v.reshape(n_blocks, _SUB, _LANE)
+
+    toi0 = jnp.asarray(toi_init, dt).reshape(1, 1)
+    cotol = jnp.asarray(tolerance, dt).reshape(1, 1)
+
+    kernel = functools.partial(
+        _solver_kernel, is_vf=is_vf, allow_zero_toi=allow_zero_toi,
+        unroll=not interpret,
+    )
+    toi_b, ovf_b, checks_b = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 31, _SUB, _LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _SUB, _LANE), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            # whole-array SMEM refs: each grid step writes its own row
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, 1), dt),
+            jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_DEPTH, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((_DEPTH, _SUB, _LANE), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, v, toi0, cotol)
+
+    toi = jnp.min(toi_b)
+    overflowed = jnp.any(ovf_b != 0)
+    return toi, overflowed, jnp.sum(checks_b)

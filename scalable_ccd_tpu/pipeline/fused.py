@@ -62,10 +62,16 @@ from scalable_ccd_tpu.narrow_phase import (
     gather_vf_queries,
 )
 from scalable_ccd_tpu.ops import compact_rows
+from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
 from scalable_ccd_tpu.ops.pallas_sweep import (
     pack_boxes_for_pallas,
     pallas_shifted_pair_filters,
 )
+
+
+def _pallas_interpret() -> bool:
+    """Interpret-mode Pallas off-TPU (CPU tests, forced-cpu dryruns)."""
+    return jax.default_backend() != "tpu"
 
 __all__ = [
     "FusedCCDResult",
@@ -400,27 +406,45 @@ def _phase(
 
     lane = jnp.arange(batch, dtype=jnp.int32)
 
+    if solver == "pallas" and (collect or max_iterations >= 0):
+        raise ValueError(
+            "solver='pallas' is the global-mode fast path only; use 'bfs' "
+            "for per-pair collisions or bounded iterations"
+        )
+
     def run_solver(chunk, keep, toi):
         if is_vf:
             q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype)
         else:
             q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype)
+        if solver == "pallas":
+            toi_k, _, _ = pallas_find_roots(
+                q, keep, is_vf, toi, ms, tolerance,
+                allow_zero_toi=allow_zero_toi,
+                interpret=_pallas_interpret(),
+            )
+            # conservative accepts inside the kernel (stack/round caps) can
+            # only make the TOI earlier — same contract as the bfs solver's
+            # overflow accepts, so no flag surfaces here either
+            return toi_k
         if solver == "bfs":
-            return find_roots_bfs(
+            res = find_roots_bfs(
                 q, keep, is_vf,
                 toi_init=toi, ms=ms, tolerance=tolerance,
                 max_iterations=max_iterations,
                 allow_zero_toi=allow_zero_toi,
                 toi_per_query=collect,
             )
-        return find_roots(
-            q, keep, is_vf,
-            toi_init=toi, ms=ms, tolerance=tolerance,
-            max_iterations=max_iterations,
-            allow_zero_toi=allow_zero_toi,
-            stack_capacity=stack_capacity,
-            toi_per_query=collect,
-        )
+        else:
+            res = find_roots(
+                q, keep, is_vf,
+                toi_init=toi, ms=ms, tolerance=tolerance,
+                max_iterations=max_iterations,
+                allow_zero_toi=allow_zero_toi,
+                stack_capacity=stack_capacity,
+                toi_per_query=collect,
+            )
+        return res
 
     if collect:
         P = pairs.shape[0]
@@ -462,8 +486,9 @@ def _phase(
         start = step * batch
         chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
         keep = (start + lane) < n_pairs
-        res = run_solver(chunk, keep, toi)
-        return step + 1, jnp.minimum(toi, res.toi)
+        out = run_solver(chunk, keep, toi)
+        toi_new = out if solver == "pallas" else out.toi
+        return step + 1, jnp.minimum(toi, toi_new)
 
     _, toi = jax.lax.while_loop(cond, body, (jnp.int32(0), toi_in))
 
@@ -644,6 +669,7 @@ def fused_ccd(
     faces,
     validate: bool = True,
     collisions: Optional[list] = None,
+    solver: Optional[str] = None,
     **kwargs,
 ) -> FusedCCDResult:
     """Single-chip fused CCD: one dispatch for the whole two-frame query.
@@ -663,18 +689,29 @@ def fused_ccd(
     the globally-pruned default).  VF hits are (vertex_id, face_id), EE
     hits (edge_id, edge_id); same convention as the chunked
     :func:`scalable_ccd_tpu.pipeline.ccd`.
+
+    ``solver`` defaults to the Pallas hardware kernel
+    (:mod:`scalable_ccd_tpu.ops.pallas_solver`) on TPU for the global fast
+    path, and to the XLA queue solver ("bfs") elsewhere and for the exact
+    modes (collisions, bounded iterations).
     """
     if validate:
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
 
         validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces)
+    if solver is None:
+        exact = collisions is not None or kwargs.get("max_iterations", -1) >= 0
+        solver = "bfs" if (exact or _pallas_interpret()) else "pallas"
     if collisions is None:
-        return _fused_ccd_jit(vertices_t0, vertices_t1, edges, faces, **kwargs)
+        return _fused_ccd_jit(
+            vertices_t0, vertices_t1, edges, faces, solver=solver, **kwargs
+        )
 
     import numpy as np
 
     res = _fused_ccd_jit(
-        vertices_t0, vertices_t1, edges, faces, collect=True, **kwargs
+        vertices_t0, vertices_t1, edges, faces, collect=True, solver=solver,
+        **kwargs
     )
     for hits, tois, count in (
         (res.vf_hits, res.vf_hit_toi, res.vf_hit_count),

@@ -1,0 +1,162 @@
+"""Pallas narrow-phase solver kernel vs the XLA solvers (interpret mode).
+
+The kernel (``ops/pallas_solver.py``) is the hardware fast path for the
+global-mode solve; on CPU it runs in Pallas interpret mode, which executes
+the same kernel logic, so these tests pin its semantics against the XLA
+queue solver — the same oracle-twin strategy used for bfs vs dfs.  Hardware
+execution is exercised by ``bench.py`` / the fused pipeline on TPU (exact
+TOI agreement was verified on a v5e chip; see the commit introducing the
+kernel).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from scalable_ccd_tpu.broad_phase import brute_force_overlaps
+from scalable_ccd_tpu.geometry.aabb import (
+    build_edge_boxes,
+    build_face_boxes,
+    build_vertex_boxes,
+)
+from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere, triangle_soup
+from scalable_ccd_tpu.narrow_phase import (
+    find_roots_bfs,
+    gather_ee_queries,
+    gather_vf_queries,
+)
+from scalable_ccd_tpu.ops.pallas_solver import (
+    PALLAS_SOLVER_BLOCK,
+    pallas_find_roots,
+)
+
+
+def _queries(scene, is_vf):
+    v0 = jnp.asarray(scene.vertices_t0, jnp.float32)
+    v1 = jnp.asarray(scene.vertices_t1, jnp.float32)
+    vb = build_vertex_boxes(v0, v1, dtype=jnp.float32)
+    if is_vf:
+        pairs = brute_force_overlaps(vb, build_face_boxes(vb, scene.faces))
+        q = gather_vf_queries(v0, v1, scene.faces, jnp.asarray(pairs), dtype=jnp.float32)
+    else:
+        pairs = brute_force_overlaps(build_edge_boxes(vb, scene.edges))
+        q = gather_ee_queries(v0, v1, scene.edges, jnp.asarray(pairs), dtype=jnp.float32)
+    return q
+
+
+@pytest.mark.parametrize("is_vf", [True, False])
+def test_kernel_matches_xla_solver(is_vf):
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, is_vf)
+    assert q.n > 0
+    valid = jnp.ones((q.n,), bool)
+    ref = find_roots_bfs(
+        q, valid, is_vf, toi_init=jnp.float32(1.0), ms=jnp.float32(0.0),
+        tolerance=jnp.float32(1e-6), max_iterations=-1,
+    )
+    toi, ovf, checks = pallas_find_roots(
+        q, valid, is_vf, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    assert float(toi) == pytest.approx(float(ref.toi), abs=1e-7)
+    assert int(checks) > 0
+
+
+def test_kernel_multi_block_and_padding():
+    """More queries than one 1024-lane block: cross-block TOI threading via
+    the persistent scratch must hold, and pad lanes must stay inert."""
+    scene = cloth_on_sphere(grid_n=16, sphere_subdiv=2, drop=0.35)
+    q = _queries(scene, True)
+    reps = -(-2 * PALLAS_SOLVER_BLOCK // q.n) + 1
+    qb = type(q)(*[jnp.concatenate([f] * reps) for f in q])
+    assert qb.n > PALLAS_SOLVER_BLOCK
+    valid = jnp.ones((qb.n,), bool)
+    ref = find_roots_bfs(
+        qb, valid, True, toi_init=jnp.float32(1.0), ms=jnp.float32(0.0),
+        tolerance=jnp.float32(1e-6), max_iterations=-1,
+    )
+    toi, _, _ = pallas_find_roots(
+        qb, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    assert float(toi) == pytest.approx(float(ref.toi), abs=1e-7)
+
+
+def test_kernel_respects_toi_init_and_valid_mask():
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, True)
+    valid = jnp.ones((q.n,), bool)
+    toi_full, _, _ = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    # a tighter initial bound is returned unchanged when it prunes all hits
+    tight = float(toi_full) * 0.5
+    toi_t, _, _ = pallas_find_roots(
+        q, valid, True, jnp.float32(tight), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    assert float(toi_t) == pytest.approx(tight, rel=1e-6)
+    # masking out every query returns the initial bound
+    toi_m, _, checks = pallas_find_roots(
+        q, jnp.zeros((q.n,), bool), True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    assert float(toi_m) == 1.0
+    assert int(checks) == 0
+
+
+def test_kernel_no_contact_scene():
+    soup = triangle_soup(n_triangles=4, motion=0.05, seed=3)
+    v0 = jnp.asarray(soup.vertices_t0, jnp.float32)
+    v1 = jnp.asarray(soup.vertices_t1, jnp.float32)
+    vb = build_vertex_boxes(v0, v1, dtype=jnp.float32)
+    pairs = brute_force_overlaps(vb, build_face_boxes(vb, soup.faces))
+    if len(pairs) == 0:
+        pairs = np.zeros((1, 2), np.int32)
+        q = gather_vf_queries(v0, v1, soup.faces, jnp.asarray(pairs), dtype=jnp.float32)
+        valid = jnp.zeros((1,), bool)
+    else:
+        q = gather_vf_queries(v0, v1, soup.faces, jnp.asarray(pairs), dtype=jnp.float32)
+        valid = jnp.ones((q.n,), bool)
+    toi, _, _ = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    ref = find_roots_bfs(
+        q, valid, True, toi_init=jnp.float32(1.0), ms=jnp.float32(0.0),
+        tolerance=jnp.float32(1e-6), max_iterations=-1,
+    )
+    assert float(toi) == pytest.approx(float(ref.toi), abs=1e-7)
+
+
+def test_kernel_min_separation():
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, True)
+    valid = jnp.ones((q.n,), bool)
+    ref = find_roots_bfs(
+        q, valid, True, toi_init=jnp.float32(1.0), ms=jnp.float32(0.02),
+        tolerance=jnp.float32(1e-6), max_iterations=-1,
+    )
+    toi, _, _ = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.02),
+        jnp.float32(1e-6), interpret=True,
+    )
+    assert float(toi) == pytest.approx(float(ref.toi), abs=1e-7)
+
+
+def test_fused_pipeline_pallas_solver_matches_bfs():
+    scene = cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    args = (
+        jnp.asarray(scene.vertices_t0, jnp.float32),
+        jnp.asarray(scene.vertices_t1, jnp.float32),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+    kw = dict(vf_budget=1 << 14, ee_budget=1 << 14, dtype=jnp.float32)
+    r_bfs = fused_ccd(*args, solver="bfs", **kw)
+    r_pal = fused_ccd(*args, solver="pallas", **kw)
+    assert float(r_pal.toi) == pytest.approx(float(r_bfs.toi), abs=1e-6)
