@@ -61,8 +61,14 @@ PALLAS_SOLVER_BLOCK = _SUB * _LANE
 #: ~60 levels worst case across 3 dims; 64 covers it, and overflow is safe)
 _DEPTH = 64
 
-#: round cap per block; leftovers conservative-accept via the pending-min
-_MAX_ROUNDS = 1 << 14
+#: round cap per block — a runaway backstop only.  It must be effectively
+#: unreachable: the cap's conservative accept falls back on the monotone
+#: pending-sibling minimum, which is ~0 for any lane that split in u/v
+#: near t=0, so a capped block collapses the global TOI toward 0 (sound
+#: but useless).  The DFS terminates on its own (depth-overflow accepts
+#: bound the tree), so the cap only guards against infinite loops from
+#: bugs, matching the reference's unbounded max_iter default.
+_MAX_ROUNDS = 1 << 20
 
 # meta bit layout
 _DIM_MASK = 3

@@ -1,0 +1,398 @@
+"""Pallas TPU kernel: all-pairs subtile sweep (broad phase).
+
+Hardware kernel for the sorted sweep's hot loop, replacing the XLA
+shift-block enumeration (``pipeline/fused.py:_sweep_compact``) on TPU.
+The reference's equivalent is the STQ kernel
+(``src/scalable_ccd/cuda/broad_phase/sweep.cu:101-182``): one thread per
+box advancing through its run with a per-warp work queue.  The XLA
+formulation enumerates (tile, shift-block) steps whose cost is dominated
+by per-step loop overhead and by sort-based compaction of very sparse
+survivors (<1% of slots); measured ~0.2-0.5 ns/slot of filter work but
+~10x that in overhead at large scale.
+
+This kernel restructures the sweep around the VPU:
+
+- Grid step = a **subtile** of 8x128 = 1024 consecutive sorted boxes,
+  resident in VMEM as one ``(8, 128)`` plane per field.
+- Partner boxes stream through a scalar loop: each iteration broadcasts
+  one partner's fields against all 1024 subtile boxes (a dozen vector
+  compares = the full pair filter for 1024 candidate pairs).  The sweep
+  invariant gives the exact termination: stop when the partner's
+  ``major_min`` exceeds the subtile's max ``major_max`` — no run-length
+  precomputation, no ``shift_cap``, no skew waste beyond the subtile's own
+  spread (1024-box granularity, vs per-4096-tile in the XLA path).
+- Partner data is DMA'd HBM->VMEM in aligned 1024-box windows ahead of the
+  scalar cursor.
+- Survivors are extracted with a pop loop costing O(survivors): find the
+  max set lane by reduction, append its (first, second) element-id pair to
+  a VMEM collect buffer with scalar writes, clear the lane, repeat.  The
+  collect buffer flushes to the HBM pair buffer in 128-aligned DMA bursts
+  through a write pointer in SMEM scratch that persists across the
+  sequential grid — the functional ``add_overlap`` atomic append
+  (``collision.cuh:45-54``).
+- Pair-budget overflow sets a flag and stops appending (the caller falls
+  back / retries, the reference's ``real_count`` protocol).
+
+Emit convention matches ``shifted_pair_filters`` / the reference
+(``sweep.cu:152-164``): one-list pairs are (min, max) element ids,
+two-list pairs (flip(min), max) with list A negative-tagged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_sweep_pairs", "pack_boxes_ap"]
+
+_SUB, _LANE = 8, 128
+_TILE = _SUB * _LANE          # boxes per grid step
+_WIN = _TILE                  # partner window size (boxes)
+_STAGE = _SUB * _LANE         # staging block: 1024 pairs, burst-DMA'd
+_SENTINEL = -(2**31) + 1
+
+# f32 field plane order
+_MAJ_MIN, _MAJ_MAX, _MIN0, _MIN1, _MAX0, _MAX1 = range(6)
+# i32 field plane order
+_V0, _V1, _V2, _EID = range(4)
+
+
+def pack_boxes_ap(sorted_boxes, n_real=None):
+    """SortedBoxes -> ((6, R, 128) f32, (4, R, 128) i32, n) kernel planes.
+
+    Rows are 128-box groups in sorted order, padded so every window DMA
+    stays in bounds; padding boxes have ``major_min = +big`` (the partner
+    stream terminates before them), inverted minors, and sentinel ids.
+    """
+    n = sorted_boxes.n if n_real is None else n_real
+    rows = -(-n // _LANE) + 2 * (_WIN // _LANE)
+    total = rows * _LANE
+    big = jnp.asarray(jnp.finfo(jnp.float32).max / 8, jnp.float32)
+
+    def padf(a, fill):
+        a = a.astype(jnp.float32)
+        return jnp.concatenate(
+            [a[:n], jnp.full((total - n,), fill, jnp.float32)]
+        ).reshape(rows, _LANE)
+
+    def padi(a, fill):
+        return jnp.concatenate(
+            [a[:n].astype(jnp.int32), jnp.full((total - n,), fill, jnp.int32)]
+        ).reshape(rows, _LANE)
+
+    bf = jnp.stack([
+        padf(sorted_boxes.major_min, big),
+        padf(sorted_boxes.major_max, -big),
+        padf(sorted_boxes.minor_min[:, 0], big),
+        padf(sorted_boxes.minor_min[:, 1], big),
+        padf(sorted_boxes.minor_max[:, 0], -big),
+        padf(sorted_boxes.minor_max[:, 1], -big),
+    ])
+    bi = jnp.stack([
+        padi(sorted_boxes.vertex_ids[:, 0], _SENTINEL),
+        padi(sorted_boxes.vertex_ids[:, 1], _SENTINEL),
+        padi(sorted_boxes.vertex_ids[:, 2], _SENTINEL),
+        padi(sorted_boxes.element_id, 0),
+    ])
+    return bf, bi, n
+
+
+def _sweep_kernel(
+    n_ref,        # (1, 1) i32 SMEM: real box count
+    bf_hbm,       # (6, R, 128) f32 in HBM
+    bi_hbm,       # (4, R, 128) i32 in HBM
+    pairs_out,    # (2, PB) i32 in HBM: compacted pair planes
+    np_out,       # (1, 1) i32 SMEM: total surviving pairs (clamped)
+    ovf_out,      # (1, 1) i32 SMEM: budget overflow flag
+    a_f, a_i,     # VMEM (6, 8, 128) f32 / (4, 8, 128) i32: subtile
+    w_f, w_i,     # SMEM (6, 8, 128) f32 / (4, 8, 128) i32: partner window
+                  # (scalar reads need SMEM; VMEM lane indexing must be
+                  # 128-aligned)
+    stage,        # VMEM (2, 8, 128) i32: 1024-pair staging block
+    state,        # SMEM (4,) i32: [flushed wp, collected count, overflow, -]
+    sems,         # DMA semaphores (4,)
+    *,
+    is_two_lists: bool,
+    budget: int,
+):
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    n = n_ref[0, 0]
+
+    @pl.when(t == 0)
+    def _():
+        state[0] = 0
+        state[1] = 0
+        state[2] = 0
+
+    p0 = t * _TILE  # first box of the subtile
+
+    # load the subtile (one DMA per dtype)
+    a_dma = pltpu.make_async_copy(
+        bf_hbm.at[:, pl.ds(t * _SUB, _SUB), :], a_f, sems.at[0]
+    )
+    a_dma.start()
+    ai_dma = pltpu.make_async_copy(
+        bi_hbm.at[:, pl.ds(t * _SUB, _SUB), :], a_i, sems.at[1]
+    )
+    ai_dma.start()
+    a_dma.wait()
+    ai_dma.wait()
+
+    a_mmax = a_f[_MAJ_MAX]
+    # padding rows carry -big, so the max is over real subtile boxes
+    a_reach = jnp.max(a_mmax)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    flatpos = sub_iota * _LANE + lane_iota  # a-box index within subtile
+    s_sub = sub_iota
+    s_lane = lane_iota
+
+    a_min0, a_min1 = a_f[_MIN0], a_f[_MIN1]
+    a_max0, a_max1 = a_f[_MAX0], a_f[_MAX1]
+    a_v0, a_v1, a_v2 = a_i[_V0], a_i[_V1], a_i[_V2]
+    a_eid = a_i[_EID]
+
+    def load_window(base_row):
+        wf = pltpu.make_async_copy(
+            bf_hbm.at[:, pl.ds(base_row, _SUB), :], w_f, sems.at[2]
+        )
+        wf.start()
+        wi = pltpu.make_async_copy(
+            bi_hbm.at[:, pl.ds(base_row, _SUB), :], w_i, sems.at[3]
+        )
+        wi.start()
+        wf.wait()
+        wi.wait()
+
+    def flush(count):
+        """DMA the 1024-pair stage to the HBM buffer at the write pointer.
+
+        Mid-run flushes happen exactly when the running collected count
+        crosses a _STAGE boundary, so the write pointer (count, clamped)
+        advances in 1024-pair steps and stays row-aligned; the final flush
+        writes the full stage once more (rows past the tail are garbage —
+        the buffer has a stage of slack) without moving past the count.
+        """
+        wp = state[0]
+        fits = wp + count <= jnp.int32(budget)
+        state[2] = jnp.where(fits, state[2], 1)
+
+        @pl.when(fits)
+        def _():
+            row = pl.multiple_of((wp // _LANE) // _SUB * _SUB, _SUB)
+            out_dma = pltpu.make_async_copy(
+                stage,
+                pairs_out.at[:, pl.ds(row, _SUB), :],
+                sems.at[2],
+            )
+            out_dma.start()
+            out_dma.wait()
+
+        state[0] = jnp.where(fits, wp + count, wp)
+
+    # --- partner stream ----------------------------------------------------
+    # j = first index of an 8-partner batch; window holds [wbase, +_WIN).
+    # Batching amortizes loop/branch overhead and, crucially, the per-
+    # partner cross-lane reduction: one sum over (UB, 8, 128) replaces UB
+    # iterations each paying their own reduction.  j stays 8-aligned
+    # (batches start at the 1024-aligned p0); partners past the stream's
+    # true end fail the major test on their own, so overshoot is safe.
+    UB = 8
+
+    def cond(c):
+        j, wbase, go = c[0], c[1], c[3]
+        return (go != 0) & (j < n)
+
+    def body(c):
+        j, wbase, cnt, go = c
+
+        # advance the window when the batch crosses it
+        @pl.when(j + UB > wbase + _WIN)
+        def _():
+            load_window((wbase + _WIN) // _LANE)
+        wbase = jnp.where(j + UB > wbase + _WIN, wbase + _WIN, wbase)
+
+        sl = j - wbase
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (UB, 1, 1), 0)
+
+        # scalars -> (UB, 1, 1) vector via one-hot fills (1-D vectors are
+        # not representable in Mosaic, so no stack+reshape)
+        def field_f(fidx):
+            out = jnp.zeros((UB, 1, 1), jnp.float32)
+            for u in range(UB):
+                v = w_f[fidx, (sl + u) // _LANE, (sl + u) % _LANE]
+                out = jnp.where(iota_u == u, v, out)
+            return out
+
+        def field_i(fidx):
+            out = jnp.zeros((UB, 1, 1), jnp.int32)
+            for u in range(UB):
+                v = w_i[fidx, (sl + u) // _LANE, (sl + u) % _LANE]
+                out = jnp.where(iota_u == u, v, out)
+            return out
+
+        b_mmin = field_f(_MAJ_MIN)
+
+        # stop once no subtile box can reach the batch's first partner
+        b_first = w_f[_MAJ_MIN, sl // _LANE, sl % _LANE]
+        go = jnp.where(b_first > a_reach, 0, go)
+
+        @pl.when(go != 0)
+        def _():
+            b_min0 = field_f(_MIN0)
+            b_min1 = field_f(_MIN1)
+            b_max0 = field_f(_MAX0)
+            b_max1 = field_f(_MAX1)
+            b_v0 = field_i(_V0)
+            b_v1 = field_i(_V1)
+            b_v2 = field_i(_V2)
+            b_eid = field_i(_EID)
+
+            a3 = lambda x: x[None]  # (8, 128) -> (1, 8, 128)  # noqa: E731
+            keep = b_mmin <= a3(a_mmax)  # (UB, 8, 128) via broadcast
+            keep &= (a3(a_min0) <= b_max0) & (b_min0 <= a3(a_max0))
+            keep &= (a3(a_min1) <= b_max1) & (b_min1 <= a3(a_max1))
+            if is_two_lists:
+                keep &= (a3(a_eid) >= 0) != (b_eid >= 0)
+            share = (
+                (a3(a_v0) == b_v0) | (a3(a_v0) == b_v1) | (a3(a_v0) == b_v2)
+                | (a3(a_v1) == b_v0) | (a3(a_v1) == b_v1) | (a3(a_v1) == b_v2)
+                | (a3(a_v2) == b_v0) | (a3(a_v2) == b_v1) | (a3(a_v2) == b_v2)
+            )
+            keep &= ~share
+            # only boxes strictly before the partner pair with it (j+u > i)
+            jrel = (j - p0) + jax.lax.broadcasted_iota(jnp.int32, (UB, 1, 1), 0)
+            keep &= a3(flatpos) < jrel
+
+            total = jnp.sum(keep, dtype=jnp.int32)
+
+            @pl.when(total > 0)
+            def _():
+                # extract per partner: all pop-loop vector work then runs on
+                # single (8, 128) planes instead of the (UB, 8, 128) batch
+                for u in range(UB):
+                    keep_u = keep[u]
+                    tot_u = jnp.sum(keep_u, dtype=jnp.int32)
+
+                    @pl.when(tot_u > 0)
+                    def _(u=u, keep_u=keep_u, tot_u=tot_u):
+                        b_eid_u = w_i[_EID, (sl + u) // _LANE, (sl + u) % _LANE]
+                        lo = jnp.minimum(a_eid, b_eid_u)
+                        hi = jnp.maximum(a_eid, b_eid_u)
+                        first = (-lo - 1) if is_two_lists else lo
+                        second = hi
+                        score0 = jnp.where(keep_u, _TILE - flatpos, 0)
+
+                        def pop_cond(pc):
+                            return pc[0] > 0
+
+                        def pop_body(pc):
+                            remaining, score, cc = pc
+                            pos = _TILE - jnp.max(score)
+                            sel = flatpos == pos
+                            fval = jnp.sum(
+                                jnp.where(sel, first, 0), dtype=jnp.int32
+                            )
+                            sval = jnp.sum(
+                                jnp.where(sel, second, 0), dtype=jnp.int32
+                            )
+                            # append into the 1024-pair stage (one-hot write;
+                            # scalar stores to VMEM are unsupported)
+                            so = cc % _STAGE
+                            oh = (s_sub == so // _LANE) & (s_lane == so % _LANE)
+                            stage[0] = jnp.where(oh, fval, stage[0])
+                            stage[1] = jnp.where(oh, sval, stage[1])
+                            score = jnp.where(sel, 0, score)
+                            cc = cc + 1
+
+                            # stage full: burst it to the HBM pair buffer
+                            @pl.when(cc % _STAGE == 0)
+                            def _():
+                                flush(jnp.int32(_STAGE))
+
+                            return remaining - 1, score, cc
+
+                        cc0 = state[1]
+                        _, _, cc1 = jax.lax.while_loop(
+                            pop_cond, pop_body, (tot_u, score0, cc0)
+                        )
+                        state[1] = cc1
+
+        return j + UB, wbase, cnt, go
+
+    load_window(t * _SUB)  # window starts at the subtile itself
+    jax.lax.while_loop(
+        cond, body, (p0, jnp.int32(p0), jnp.int32(0), jnp.int32(1))
+    )
+
+    # final flush on the last subtile: the stage holds cc % _STAGE pairs
+    @pl.when(t == n_tiles - 1)
+    def _():
+        rem = state[1] % _STAGE
+
+        @pl.when(rem > 0)
+        def _():
+            flush(rem)
+
+    np_out[0, 0] = state[0]
+    ovf_out[0, 0] = state[2]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("is_two_lists", "budget", "interpret")
+)
+def pallas_sweep_pairs(
+    bf, bi, n, is_two_lists: bool, budget: int, interpret: bool = False
+):
+    """Run the all-pairs sweep kernel over packed box planes.
+
+    Returns ``(pairs, n_pairs, overflow)``: ``pairs`` is ``(PB, 2)`` int32
+    with the surviving element-id pairs in rows ``[0, n_pairs)`` (order is
+    deterministic but not sorted), ``overflow`` True when the budget was
+    exceeded (missing pairs — caller must retry or fall back).
+    """
+    n_static = bf.shape[1] * _LANE - 2 * _WIN  # upper bound on n
+    n_tiles = -(-n_static // _TILE)
+    PBR = -(-budget // _LANE) + _SUB  # rows incl. one stage of slack
+
+    kernel = functools.partial(
+        _sweep_kernel, is_two_lists=is_two_lists, budget=budget
+    )
+    pairs, n_pairs, ovf = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, PBR, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((4, _SUB, _LANE), jnp.int32),
+            pltpu.SMEM((6, _SUB, _LANE), jnp.float32),
+            pltpu.SMEM((4, _SUB, _LANE), jnp.int32),
+            pltpu.VMEM((2, _SUB, _LANE), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(jnp.asarray(n, jnp.int32).reshape(1, 1), bf, bi)
+
+    flat = pairs.reshape(2, PBR * _LANE)
+    return jnp.transpose(flat), n_pairs[0, 0], ovf[0, 0] != 0

@@ -67,6 +67,10 @@ from scalable_ccd_tpu.ops.pallas_sweep import (
     pack_boxes_for_pallas,
     pallas_shifted_pair_filters,
 )
+from scalable_ccd_tpu.ops.pallas_sweep_ap import (
+    pack_boxes_ap,
+    pallas_sweep_pairs,
+)
 
 
 def _pallas_interpret() -> bool:
@@ -396,13 +400,24 @@ def _phase(
     — the functional ``thrust::copy_if`` (``narrow_phase.cu:197-202``).
     """
     n = sorted_boxes.n
-    k = count_major_runs(sorted_boxes, jnp.int32(0), n)
-
-    pairs, n_pairs, overflow = _sweep_compact(
-        sorted_boxes, is_vf, k,
-        pair_budget, sweep_batch, sweep_window, shift_cap, max_sweep_steps,
-        axis_name, slack=batch, sweep_impl=sweep_impl,
-    )
+    if sweep_impl == "pallas_ap" and axis_name is None:
+        # all-pairs subtile sweep kernel: no run lengths, no shift cap
+        bf, bi, n_real = pack_boxes_ap(sorted_boxes)
+        pairs, n_pairs, overflow = pallas_sweep_pairs(
+            bf, bi, n_real, is_vf, budget=pair_budget,
+            interpret=_pallas_interpret(),
+        )
+        # slack rows so the narrow loop's dynamic slices never clamp
+        pairs = jnp.concatenate(
+            [pairs, jnp.full((batch, 2), jnp.int32(-(2**31) + 1))]
+        )
+    else:
+        k = count_major_runs(sorted_boxes, jnp.int32(0), n)
+        pairs, n_pairs, overflow = _sweep_compact(
+            sorted_boxes, is_vf, k,
+            pair_budget, sweep_batch, sweep_window, shift_cap,
+            max_sweep_steps, axis_name, slack=batch, sweep_impl=sweep_impl,
+        )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
 
@@ -702,6 +717,10 @@ def fused_ccd(
     if solver is None:
         exact = collisions is not None or kwargs.get("max_iterations", -1) >= 0
         solver = "bfs" if (exact or _pallas_interpret()) else "pallas"
+    if kwargs.get("sweep_impl") is None:
+        # the all-pairs sweep kernel on TPU; XLA shift-block elsewhere
+        # (interpret-mode partner streaming is impractically slow on CPU)
+        kwargs["sweep_impl"] = "xla" if _pallas_interpret() else "pallas_ap"
     if collisions is None:
         return _fused_ccd_jit(
             vertices_t0, vertices_t1, edges, faces, solver=solver, **kwargs

@@ -1,0 +1,97 @@
+"""All-pairs sweep kernel vs the XLA sweep (interpret mode).
+
+``ops/pallas_sweep_ap.py`` is the TPU hardware broad phase; on CPU it runs
+in Pallas interpret mode, pinned here against ``detect_overlaps`` (itself
+proven equal to the brute-force oracle) for exact pair-set equality.
+Hardware execution is exercised by ``bench.py`` / the fused pipeline on
+TPU (exact pair-set parity verified on a v5e chip up to 1.17M pairs).
+
+Interpret mode emulates the per-partner scalar stream, so scenes here are
+small.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from scalable_ccd_tpu.broad_phase import detect_overlaps, merge_two_lists, sort_boxes
+from scalable_ccd_tpu.geometry.aabb import (
+    build_edge_boxes,
+    build_face_boxes,
+    build_vertex_boxes,
+)
+from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere, triangle_soup
+from scalable_ccd_tpu.ops.pallas_sweep_ap import pack_boxes_ap, pallas_sweep_pairs
+
+
+def _boxes(scene):
+    vb = build_vertex_boxes(scene.vertices_t0, scene.vertices_t1, dtype=jnp.float32)
+    return vb, build_edge_boxes(vb, scene.edges), build_face_boxes(vb, scene.faces)
+
+
+def _pairs_set(pairs, n):
+    return set(map(tuple, np.asarray(pairs[: int(n)]).tolist()))
+
+
+@pytest.mark.parametrize("is_two_lists", [True, False])
+def test_kernel_matches_xla_sweep(is_two_lists):
+    scene = cloth_on_sphere(grid_n=14, sphere_subdiv=1, drop=0.35)
+    vb, eb, fb = _boxes(scene)
+    sb = sort_boxes(merge_two_lists(vb, fb)) if is_two_lists else sort_boxes(eb)
+    ref = set(map(tuple, detect_overlaps(sb, is_two_lists=is_two_lists).tolist()))
+    bf, bi, n = pack_boxes_ap(sb)
+    pairs, np_, ovf = pallas_sweep_pairs(
+        bf, bi, n, is_two_lists, budget=1 << 15, interpret=True
+    )
+    assert not bool(ovf)
+    assert _pairs_set(pairs, np_) == ref
+
+
+def test_kernel_budget_overflow_flags():
+    """A too-small budget must raise the flag, never silently drop."""
+    scene = triangle_soup(80, motion=0.25, seed=4)
+    _, eb, _ = _boxes(scene)
+    sb = sort_boxes(eb)
+    ref = detect_overlaps(sb, is_two_lists=False)
+    assert len(ref) > 64
+    bf, bi, n = pack_boxes_ap(sb)
+    pairs, np_, ovf = pallas_sweep_pairs(
+        bf, bi, n, False, budget=64, interpret=True
+    )
+    assert bool(ovf)
+
+    # a sufficient budget on the same packing is exact
+    pairs, np_, ovf = pallas_sweep_pairs(
+        bf, bi, n, False, budget=1 << 15, interpret=True
+    )
+    assert not bool(ovf)
+    assert _pairs_set(pairs, np_) == set(map(tuple, ref.tolist()))
+
+
+def test_kernel_empty_scene():
+    soup = triangle_soup(4, motion=0.0, seed=5)
+    _, eb, _ = _boxes(soup)
+    sb = sort_boxes(eb)
+    bf, bi, n = pack_boxes_ap(sb)
+    pairs, np_, ovf = pallas_sweep_pairs(bf, bi, n, False, budget=256, interpret=True)
+    ref = detect_overlaps(sb, is_two_lists=False)
+    assert int(np_) == len(ref)
+
+
+def test_fused_pipeline_ap_sweep_matches_xla():
+    scene = cloth_on_sphere(grid_n=8, sphere_subdiv=0, drop=0.6)
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    args = (
+        jnp.asarray(scene.vertices_t0, jnp.float32),
+        jnp.asarray(scene.vertices_t1, jnp.float32),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+    kw = dict(vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32)
+    r_xla = fused_ccd(*args, sweep_impl="xla", **kw)
+    r_ap = fused_ccd(*args, sweep_impl="pallas_ap", **kw)
+    assert float(r_ap.toi) == pytest.approx(float(r_xla.toi), abs=1e-6)
+    assert int(r_ap.vf_total) == int(r_xla.vf_total)
+    assert int(r_ap.ee_total) == int(r_xla.ee_total)
