@@ -57,59 +57,88 @@ _SENTINEL = -(2**31) + 1
 
 # f32 field plane order
 _MAJ_MIN, _MAJ_MAX, _MIN0, _MIN1, _MAX0, _MAX1 = range(6)
-# i32 field plane order
-_V0, _V1, _V2, _EID = range(4)
+# i32 field plane order (_POS = box position in sorted order, for the
+# j > i test and the stream start; the a-side may be extent-reordered)
+_V0, _V1, _V2, _EID, _POS = range(5)
+
+#: a box whose major extent exceeds this multiple of the mean is "long"
+_LONG_EXTENT_FACTOR = 4.0
 
 
 def pack_boxes_ap(sorted_boxes, n_real=None):
-    """SortedBoxes -> ((6, R, 128) f32, (4, R, 128) i32, n) kernel planes.
+    """SortedBoxes -> ((6, R, 128) f32, (5, R, 128) i32, n) kernel planes.
 
-    Rows are 128-box groups in sorted order, padded so every window DMA
-    stays in bounds; padding boxes have ``major_min = +big`` (the partner
-    stream terminates before them), inverted minors, and sentinel ids.
+    Rows are 128-box groups, padded so every window DMA stays in bounds;
+    padding boxes have ``major_min = +big`` (the partner stream terminates
+    before them), inverted minors, sentinel ids, and a +big position.
+
+    The a-side enumeration is **extent-classed**: boxes whose major extent
+    exceeds ``_LONG_EXTENT_FACTOR x mean`` are stably partitioned to the
+    back, so the few long-run boxes (e.g. large static-obstacle faces
+    scattered through a fine cloth) share subtiles with each other instead
+    of inflating every subtile's partner range to their run length — a
+    subtile streams partners until none of ITS boxes can reach further.
+    The partner stream still reads sorted order through the ``_POS`` plane,
+    so the pair set is unchanged (verified against the XLA sweep).
     """
     n = sorted_boxes.n if n_real is None else n_real
     rows = -(-n // _LANE) + 2 * (_WIN // _LANE)
     total = rows * _LANE
     big = jnp.asarray(jnp.finfo(jnp.float32).max / 8, jnp.float32)
 
-    def padf(a, fill):
-        a = a.astype(jnp.float32)
-        return jnp.concatenate(
-            [a[:n], jnp.full((total - n,), fill, jnp.float32)]
-        ).reshape(rows, _LANE)
+    f_cols = jnp.stack([
+        sorted_boxes.major_min[:n].astype(jnp.float32),
+        sorted_boxes.major_max[:n].astype(jnp.float32),
+        sorted_boxes.minor_min[:n, 0].astype(jnp.float32),
+        sorted_boxes.minor_min[:n, 1].astype(jnp.float32),
+        sorted_boxes.minor_max[:n, 0].astype(jnp.float32),
+        sorted_boxes.minor_max[:n, 1].astype(jnp.float32),
+    ], axis=1)  # (n, 6)
+    i_cols = jnp.stack([
+        sorted_boxes.vertex_ids[:n, 0].astype(jnp.int32),
+        sorted_boxes.vertex_ids[:n, 1].astype(jnp.int32),
+        sorted_boxes.vertex_ids[:n, 2].astype(jnp.int32),
+        sorted_boxes.element_id[:n].astype(jnp.int32),
+        jnp.arange(n, dtype=jnp.int32),
+    ], axis=1)  # (n, 5)
+    f_fill = jnp.array([big, -big, big, big, -big, -big], jnp.float32)
+    i_fill = jnp.array(
+        [_SENTINEL, _SENTINEL, _SENTINEL, 0, 2**30], jnp.int32
+    )
 
-    def padi(a, fill):
-        return jnp.concatenate(
-            [a[:n].astype(jnp.int32), jnp.full((total - n,), fill, jnp.int32)]
-        ).reshape(rows, _LANE)
+    extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
+    thr = _LONG_EXTENT_FACTOR * jnp.mean(extent)
+    # stable partition: short boxes first, long boxes after, each class in
+    # sorted-position order; ONE row gather per dtype applies it
+    order = jnp.argsort((extent > thr).astype(jnp.int32), stable=True)
 
-    bf = jnp.stack([
-        padf(sorted_boxes.major_min, big),
-        padf(sorted_boxes.major_max, -big),
-        padf(sorted_boxes.minor_min[:, 0], big),
-        padf(sorted_boxes.minor_min[:, 1], big),
-        padf(sorted_boxes.minor_max[:, 0], -big),
-        padf(sorted_boxes.minor_max[:, 1], -big),
-    ])
-    bi = jnp.stack([
-        padi(sorted_boxes.vertex_ids[:, 0], _SENTINEL),
-        padi(sorted_boxes.vertex_ids[:, 1], _SENTINEL),
-        padi(sorted_boxes.vertex_ids[:, 2], _SENTINEL),
-        padi(sorted_boxes.element_id, 0),
-    ])
-    return bf, bi, n
+    def planes(cols, fill, perm):
+        if perm is not None:
+            cols = cols[perm]
+        padded = jnp.concatenate(
+            [cols, jnp.broadcast_to(fill, (total - n, fill.shape[0]))]
+        )  # (total, F)
+        return jnp.transpose(padded.reshape(rows, _LANE, -1), (2, 0, 1))
+
+    bf = planes(f_cols, f_fill, order)
+    bi = planes(i_cols, i_fill, order)
+    # the partner stream reads SORTED order (no reorder, no _POS use)
+    wf = planes(f_cols, f_fill, None)
+    wi = planes(i_cols, i_fill, None)
+    return (bf, bi, wf, wi), n
 
 
 def _sweep_kernel(
     n_ref,        # (1, 1) i32 SMEM: real box count
-    bf_hbm,       # (6, R, 128) f32 in HBM
-    bi_hbm,       # (4, R, 128) i32 in HBM
+    bf_hbm,       # (6, R, 128) f32 in HBM: a-side (extent-classed order)
+    bi_hbm,       # (5, R, 128) i32 in HBM: a-side ids + positions
+    wf_hbm,       # (6, R, 128) f32 in HBM: partner side (sorted order)
+    wi_hbm,       # (5, R, 128) i32 in HBM: partner side
     pairs_out,    # (2, PB) i32 in HBM: compacted pair planes
     np_out,       # (1, 1) i32 SMEM: total surviving pairs (clamped)
     ovf_out,      # (1, 1) i32 SMEM: budget overflow flag
-    a_f, a_i,     # VMEM (6, 8, 128) f32 / (4, 8, 128) i32: subtile
-    w_f, w_i,     # SMEM (6, 8, 128) f32 / (4, 8, 128) i32: partner window
+    a_f, a_i,     # VMEM (6, 8, 128) f32 / (5, 8, 128) i32: subtile
+    w_f, w_i,     # SMEM (6, 8, 128) f32 / (5, 8, 128) i32: partner window
                   # (scalar reads need SMEM; VMEM lane indexing must be
                   # 128-aligned)
     stage,        # VMEM (2, 8, 128) i32: 1024-pair staging block
@@ -129,7 +158,6 @@ def _sweep_kernel(
         state[1] = 0
         state[2] = 0
 
-    p0 = t * _TILE  # first box of the subtile
 
     # load the subtile (one DMA per dtype)
     a_dma = pltpu.make_async_copy(
@@ -146,6 +174,10 @@ def _sweep_kernel(
     a_mmax = a_f[_MAJ_MAX]
     # padding rows carry -big, so the max is over real subtile boxes
     a_reach = jnp.max(a_mmax)
+    a_pos = a_i[_POS]  # sorted-order positions (+big on padding)
+    # the partner stream starts just past the subtile's earliest box,
+    # rounded down to keep the 8-partner batches aligned
+    j0 = (jnp.min(a_pos) + 1) // 8 * 8
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
     flatpos = sub_iota * _LANE + lane_iota  # a-box index within subtile
@@ -159,11 +191,11 @@ def _sweep_kernel(
 
     def load_window(base_row):
         wf = pltpu.make_async_copy(
-            bf_hbm.at[:, pl.ds(base_row, _SUB), :], w_f, sems.at[2]
+            wf_hbm.at[:, pl.ds(base_row, _SUB), :], w_f, sems.at[2]
         )
         wf.start()
         wi = pltpu.make_async_copy(
-            bi_hbm.at[:, pl.ds(base_row, _SUB), :], w_i, sems.at[3]
+            wi_hbm.at[:, pl.ds(base_row, _SUB), :], w_i, sems.at[3]
         )
         wi.start()
         wf.wait()
@@ -266,8 +298,8 @@ def _sweep_kernel(
             )
             keep &= ~share
             # only boxes strictly before the partner pair with it (j+u > i)
-            jrel = (j - p0) + jax.lax.broadcasted_iota(jnp.int32, (UB, 1, 1), 0)
-            keep &= a3(flatpos) < jrel
+            jabs = j + jax.lax.broadcasted_iota(jnp.int32, (UB, 1, 1), 0)
+            keep &= a3(a_pos) < jabs
 
             total = jnp.sum(keep, dtype=jnp.int32)
 
@@ -325,9 +357,10 @@ def _sweep_kernel(
 
         return j + UB, wbase, cnt, go
 
-    load_window(t * _SUB)  # window starts at the subtile itself
+    wbase0 = j0 // _WIN * _WIN
+    load_window(wbase0 // _LANE)  # window containing the stream start
     jax.lax.while_loop(
-        cond, body, (p0, jnp.int32(p0), jnp.int32(0), jnp.int32(1))
+        cond, body, (j0, wbase0, jnp.int32(0), jnp.int32(1))
     )
 
     # final flush on the last subtile: the stage holds cc % _STAGE pairs
@@ -347,15 +380,17 @@ def _sweep_kernel(
     jax.jit, static_argnames=("is_two_lists", "budget", "interpret")
 )
 def pallas_sweep_pairs(
-    bf, bi, n, is_two_lists: bool, budget: int, interpret: bool = False
+    packed, n, is_two_lists: bool, budget: int, interpret: bool = False
 ):
     """Run the all-pairs sweep kernel over packed box planes.
 
-    Returns ``(pairs, n_pairs, overflow)``: ``pairs`` is ``(PB, 2)`` int32
-    with the surviving element-id pairs in rows ``[0, n_pairs)`` (order is
+    ``packed`` is the tuple from :func:`pack_boxes_ap`.  Returns
+    ``(pairs, n_pairs, overflow)``: ``pairs`` is ``(PB, 2)`` int32 with the
+    surviving element-id pairs in rows ``[0, n_pairs)`` (order is
     deterministic but not sorted), ``overflow`` True when the budget was
     exceeded (missing pairs — caller must retry or fall back).
     """
+    bf, bi, wf, wi = packed
     n_static = bf.shape[1] * _LANE - 2 * _WIN  # upper bound on n
     n_tiles = -(-n_static // _TILE)
     PBR = -(-budget // _LANE) + _SUB  # rows incl. one stage of slack
@@ -368,6 +403,8 @@ def pallas_sweep_pairs(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -383,16 +420,16 @@ def pallas_sweep_pairs(
         ],
         scratch_shapes=[
             pltpu.VMEM((6, _SUB, _LANE), jnp.float32),
-            pltpu.VMEM((4, _SUB, _LANE), jnp.int32),
+            pltpu.VMEM((5, _SUB, _LANE), jnp.int32),
             pltpu.SMEM((6, _SUB, _LANE), jnp.float32),
-            pltpu.SMEM((4, _SUB, _LANE), jnp.int32),
+            pltpu.SMEM((5, _SUB, _LANE), jnp.int32),
             pltpu.VMEM((2, _SUB, _LANE), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(jnp.asarray(n, jnp.int32).reshape(1, 1), bf, bi)
+    )(jnp.asarray(n, jnp.int32).reshape(1, 1), bf, bi, wf, wi)
 
     flat = pairs.reshape(2, PBR * _LANE)
     return jnp.transpose(flat), n_pairs[0, 0], ovf[0, 0] != 0

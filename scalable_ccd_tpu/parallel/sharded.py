@@ -95,7 +95,8 @@ def make_sharded_ccd(
         step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=FusedCCDResult(toi=P(), overflowed=P(), vf_total=P(), ee_total=P()),
+        out_specs=FusedCCDResult(toi=P(), overflowed=P(), vf_total=P(),
+                              ee_total=P(), total_checks=P()),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -96,6 +96,9 @@ class FusedCCDResult(NamedTuple):
     vf_total: jax.Array
     #: () int32 — surviving EE candidate pairs (clamped to the pair budget)
     ee_total: jax.Array
+    #: () int32 — total narrow-phase domain evaluations (the reference's
+    #: ``nbr_checks`` across the batch; psum'd across shards when sharded)
+    total_checks: jax.Array
 
 
 class FusedCollisionsResult(NamedTuple):
@@ -109,6 +112,7 @@ class FusedCollisionsResult(NamedTuple):
     overflowed: jax.Array
     vf_total: jax.Array
     ee_total: jax.Array
+    total_checks: jax.Array
     #: (vf_budget+, 2) int32 (vertex_id, face_id), hits compacted to front
     vf_hits: jax.Array
     #: (vf_budget+,) exact per-pair TOI for the compacted hits
@@ -402,9 +406,9 @@ def _phase(
     n = sorted_boxes.n
     if sweep_impl == "pallas_ap" and axis_name is None:
         # all-pairs subtile sweep kernel: no run lengths, no shift cap
-        bf, bi, n_real = pack_boxes_ap(sorted_boxes)
+        packed, n_real = pack_boxes_ap(sorted_boxes)
         pairs, n_pairs, overflow = pallas_sweep_pairs(
-            bf, bi, n_real, is_vf, budget=pair_budget,
+            packed, n_real, is_vf, budget=pair_budget,
             interpret=_pallas_interpret(),
         )
         # slack rows so the narrow loop's dynamic slices never clamp
@@ -433,7 +437,7 @@ def _phase(
         else:
             q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype)
         if solver == "pallas":
-            toi_k, _, _ = pallas_find_roots(
+            toi_k, _, checks_k = pallas_find_roots(
                 q, keep, is_vf, toi, ms, tolerance,
                 allow_zero_toi=allow_zero_toi,
                 interpret=_pallas_interpret(),
@@ -441,7 +445,7 @@ def _phase(
             # conservative accepts inside the kernel (stack/round caps) can
             # only make the TOI earlier — same contract as the bfs solver's
             # overflow accepts, so no flag surfaces here either
-            return toi_k
+            return toi_k, checks_k.astype(jnp.int32), None
         if solver == "bfs":
             res = find_roots_bfs(
                 q, keep, is_vf,
@@ -459,59 +463,127 @@ def _phase(
                 stack_capacity=stack_capacity,
                 toi_per_query=collect,
             )
-        return res
+        return res.toi, res.total_checks.astype(jnp.int32), res
 
     if collect:
         P = pairs.shape[0]
         pq0 = jnp.full((P,), jnp.inf, dtype)
 
         def cond(st):
-            step, toi, pq = st
+            step = st[0]
             # no `toi > 0` early exit: every pair's exact TOI is needed
             # (the chunked pipeline disables it the same way)
             return step * batch < n_pairs
 
         def body(st):
-            step, toi, pq = st
+            step, toi, pq, checks = st
             start = step * batch
             chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
             keep = (start + lane) < n_pairs
-            res = run_solver(chunk, keep, toi)
+            toi_new, ck, res = run_solver(chunk, keep, toi)
             pq = jax.lax.dynamic_update_slice_in_dim(
                 pq, res.per_query_toi.astype(dtype), start, axis=0
             )
-            return step + 1, jnp.minimum(toi, res.toi), pq
+            return step + 1, jnp.minimum(toi, toi_new), pq, checks + ck
 
-        _, toi, pq = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), toi_in, pq0)
+        _, toi, pq, checks = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), toi_in, pq0, jnp.int32(0))
         )
         slot = jnp.arange(P, dtype=jnp.int32)
         hit = (pq < 1.0) & (slot < n_pairs)
         n_hits, h_pairs, h_toi = compact_rows(hit, pairs, pq)
-        return toi, n_pairs, overflow, h_pairs, h_toi, n_hits
+        return toi, n_pairs, overflow, checks, h_pairs, h_toi, n_hits
+
+    if axis_name is None:
+        def cond(st):
+            step, toi, checks = st
+            # `toi > 0` early exit mirrors the reference chunk loop's
+            # `remaining_queries && toi > 0` (narrow_phase.cu:136)
+            return (step * batch < n_pairs) & (toi > 0)
+
+        def body(st):
+            step, toi, checks = st
+            start = step * batch
+            chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
+            keep = (start + lane) < n_pairs
+            toi_new, ck, _ = run_solver(chunk, keep, toi)
+            return step + 1, jnp.minimum(toi, toi_new), checks + ck
+
+        _, toi, checks = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), toi_in, jnp.int32(0))
+        )
+        return toi, n_pairs, overflow, checks
+
+    # ---- multi-chip narrow: pool, balance, co-prune ----------------------
+    # The reference's dead multi-GPU design leaves each device to solve its
+    # own range's candidates with one final reduction; contacts concentrate
+    # where geometry does, so one device grinds while the rest idle and
+    # pruning information never crosses (VERDICT round 1).  Here:
+    #  - every shard all-gathers the compacted candidate buffers (one ICI
+    #    collective of the budget-sized buffers) and takes the me-th stripe
+    #    OF EACH SOURCE shard's survivors: narrow work is balanced to within
+    #    S rows regardless of where contacts sit;
+    #  - the running TOI is pmin'd after EVERY narrow batch — the cross-chip
+    #    analogue of atomicMin visibility during the search
+    #    (root_finder.cu:295,323) — so shards prune each other mid-phase;
+    #  - loop trip count and the toi-based early exit derive only from
+    #    collectively-reduced values, keeping every shard in the same
+    #    control flow (a per-shard count would deadlock the collective).
+    S = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    share = -(-pair_budget // S)  # rows taken from each source shard
+    all_pairs = jax.lax.all_gather(pairs[:pair_budget], axis_name)  # (S,B,2)
+    all_counts = jax.lax.all_gather(n_pairs, axis_name)  # (S,)
+
+    stripes = []
+    masks = []
+    used = jnp.int32(0)
+    row_lane = jnp.arange(share, dtype=jnp.int32)
+    for src in range(S):
+        c = all_counts[src]
+        share_c = (c + S - 1) // S          # this source's stripe width
+        start = me * share_c                 # my stripe within [0, c)
+        start_cl = jnp.minimum(start, jnp.maximum(jnp.int32(pair_budget) - share, 0))
+        stripe = jax.lax.dynamic_slice_in_dim(all_pairs[src], start_cl, share, axis=0)
+        abs_row = start_cl + row_lane
+        hi = jnp.minimum((me + 1) * share_c, c)
+        mask = (abs_row >= start) & (abs_row < hi)
+        cnt = jnp.clip(hi - start, 0, share_c)
+        stripes.append(stripe)
+        masks.append(mask)
+        used = jnp.maximum(
+            used, jnp.where(cnt > 0, jnp.int32((src + 1) * share), 0)
+        )
+    pairs_bal = jnp.concatenate(
+        stripes + [jnp.full((batch, 2), jnp.int32(-(2**31) + 1))]
+    )
+    mask_bal = jnp.concatenate(masks + [jnp.zeros((batch,), bool)])
+    # uniform trip bound: the last stripe block any shard actually uses
+    used = jax.lax.pmax(used, axis_name)
 
     def cond(st):
-        step, toi = st
-        # `toi > 0` early exit mirrors the reference chunk loop's
-        # `remaining_queries && toi > 0` (narrow_phase.cu:136)
-        return (step * batch < n_pairs) & (toi > 0)
+        step, toi, checks = st
+        # both operands are collectively uniform (pmax'd bound, pmin'd toi)
+        return (step * batch < used) & (toi > 0)
 
     def body(st):
-        step, toi = st
+        step, toi, checks = st
         start = step * batch
-        chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
-        keep = (start + lane) < n_pairs
-        out = run_solver(chunk, keep, toi)
-        toi_new = out if solver == "pallas" else out.toi
-        return step + 1, jnp.minimum(toi, toi_new)
+        chunk = jax.lax.dynamic_slice_in_dim(pairs_bal, start, batch, axis=0)
+        keep = jax.lax.dynamic_slice_in_dim(mask_bal, start, batch, axis=0)
+        toi_new, ck, _ = run_solver(chunk, keep, toi)
+        # mid-phase TOI exchange: every shard sees every hit immediately
+        toi = jax.lax.pmin(jnp.minimum(toi, toi_new), axis_name)
+        return step + 1, toi, checks + ck
 
-    _, toi = jax.lax.while_loop(cond, body, (jnp.int32(0), toi_in))
-
-    if axis_name is not None:
-        toi = jax.lax.pmin(toi, axis_name)
-        n_pairs = jax.lax.psum(n_pairs, axis_name)
-        overflow = jax.lax.pmax(overflow, axis_name)
-    return toi, n_pairs, overflow
+    _, toi, checks = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jax.lax.pmin(toi_in, axis_name), jnp.int32(0))
+    )
+    toi = jax.lax.pmin(toi, axis_name)
+    n_pairs = jax.lax.psum(n_pairs, axis_name)
+    overflow = jax.lax.pmax(overflow, axis_name)
+    checks = jax.lax.psum(checks, axis_name)
+    return toi, n_pairs, overflow, checks
 
 
 def fused_ccd_core(
@@ -581,30 +653,32 @@ def fused_ccd_core(
                 "per-pair collision collection is single-chip only; gather "
                 "hits per shard outside shard_map instead"
             )
-        toi1, vf_total, vf_over, vf_hits, vf_htoi, vf_n = _phase(
+        toi1, vf_total, vf_over, vf_ck, vf_hits, vf_htoi, vf_n = _phase(
             vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
             toi_in=toi0, collect=True, **common,
         )
-        toi2, ee_total, ee_over, ee_hits, ee_htoi, ee_n = _phase(
+        toi2, ee_total, ee_over, ee_ck, ee_hits, ee_htoi, ee_n = _phase(
             ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
             toi_in=toi1, collect=True, **common,
         )
         return FusedCollisionsResult(
             toi=toi2, overflowed=vf_over | ee_over,
             vf_total=vf_total, ee_total=ee_total,
+            total_checks=vf_ck + ee_ck,
             vf_hits=vf_hits, vf_hit_toi=vf_htoi, vf_hit_count=vf_n,
             ee_hits=ee_hits, ee_hit_toi=ee_htoi, ee_hit_count=ee_n,
         )
-    toi1, vf_total, vf_over = _phase(
+    toi1, vf_total, vf_over, vf_ck = _phase(
         vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
         toi_in=toi0, **common,
     )
-    toi2, ee_total, ee_over = _phase(
+    toi2, ee_total, ee_over, ee_ck = _phase(
         ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
         toi_in=toi1, **common,
     )
     return FusedCCDResult(
-        toi=toi2, overflowed=vf_over | ee_over, vf_total=vf_total, ee_total=ee_total
+        toi=toi2, overflowed=vf_over | ee_over, vf_total=vf_total,
+        ee_total=ee_total, total_checks=vf_ck + ee_ck,
     )
 
 
@@ -746,4 +820,5 @@ def fused_ccd(
     return FusedCCDResult(
         toi=res.toi, overflowed=res.overflowed,
         vf_total=res.vf_total, ee_total=res.ee_total,
+        total_checks=res.total_checks,
     )

@@ -40,9 +40,9 @@ def test_kernel_matches_xla_sweep(is_two_lists):
     vb, eb, fb = _boxes(scene)
     sb = sort_boxes(merge_two_lists(vb, fb)) if is_two_lists else sort_boxes(eb)
     ref = set(map(tuple, detect_overlaps(sb, is_two_lists=is_two_lists).tolist()))
-    bf, bi, n = pack_boxes_ap(sb)
+    packed, n = pack_boxes_ap(sb)
     pairs, np_, ovf = pallas_sweep_pairs(
-        bf, bi, n, is_two_lists, budget=1 << 15, interpret=True
+        packed, n, is_two_lists, budget=1 << 15, interpret=True
     )
     assert not bool(ovf)
     assert _pairs_set(pairs, np_) == ref
@@ -55,15 +55,15 @@ def test_kernel_budget_overflow_flags():
     sb = sort_boxes(eb)
     ref = detect_overlaps(sb, is_two_lists=False)
     assert len(ref) > 64
-    bf, bi, n = pack_boxes_ap(sb)
+    packed, n = pack_boxes_ap(sb)
     pairs, np_, ovf = pallas_sweep_pairs(
-        bf, bi, n, False, budget=64, interpret=True
+        packed, n, False, budget=64, interpret=True
     )
     assert bool(ovf)
 
     # a sufficient budget on the same packing is exact
     pairs, np_, ovf = pallas_sweep_pairs(
-        bf, bi, n, False, budget=1 << 15, interpret=True
+        packed, n, False, budget=1 << 15, interpret=True
     )
     assert not bool(ovf)
     assert _pairs_set(pairs, np_) == set(map(tuple, ref.tolist()))
@@ -73,8 +73,8 @@ def test_kernel_empty_scene():
     soup = triangle_soup(4, motion=0.0, seed=5)
     _, eb, _ = _boxes(soup)
     sb = sort_boxes(eb)
-    bf, bi, n = pack_boxes_ap(sb)
-    pairs, np_, ovf = pallas_sweep_pairs(bf, bi, n, False, budget=256, interpret=True)
+    packed, n = pack_boxes_ap(sb)
+    pairs, np_, ovf = pallas_sweep_pairs(packed, n, False, budget=256, interpret=True)
     ref = detect_overlaps(sb, is_two_lists=False)
     assert int(np_) == len(ref)
 
