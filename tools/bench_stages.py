@@ -9,6 +9,10 @@ actually synchronize, and fetching large arrays measures tunnel bandwidth
 the remote compile service has been observed taking 3 s or 300 s for the
 same graph; the persistent cache in ``scalable_ccd_tpu/__init__`` makes it
 once-per-machine).
+
+Stages measured: box build + sort, the all-pairs sweep kernel per phase
+(``ops/pallas_sweep_ap.py``), the narrow-phase solver kernel on the VF
+candidates (``ops/pallas_solver.py``), and the full fused step.
 """
 
 from __future__ import annotations
@@ -23,28 +27,27 @@ import jax.numpy as jnp
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import scalable_ccd_tpu  # noqa: F401 (enables the compilation cache)
-from scalable_ccd_tpu.broad_phase.sweep import (
-    count_major_runs,
-    merge_two_lists,
-    sort_boxes,
-)
+from scalable_ccd_tpu.broad_phase.sweep import merge_two_lists, sort_boxes
 from scalable_ccd_tpu.geometry.aabb import (
     build_edge_boxes,
     build_face_boxes,
     build_vertex_boxes,
 )
 from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere
-from scalable_ccd_tpu.pipeline.fused import _sweep_compact, fused_ccd
+from scalable_ccd_tpu.narrow_phase import gather_vf_queries
+from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
+from scalable_ccd_tpu.ops.pallas_sweep_ap import pack_boxes_ap, pallas_sweep_pairs
+from scalable_ccd_tpu.pipeline.fused import fused_ccd
 
 
-def tic(name, f, *args, reps=3):
+def tic(name, f, reps=3):
     t0 = time.perf_counter()
-    jax.device_get(jax.tree_util.tree_leaves(f(*args))[0])
+    jax.device_get(jax.tree_util.tree_leaves(f())[0])
     compile_s = time.perf_counter() - t0
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.device_get(jax.tree_util.tree_leaves(f(*args))[0])
+        jax.device_get(jax.tree_util.tree_leaves(f())[0])
         ts.append(time.perf_counter() - t0)
     print(f"{name}: {min(ts) * 1e3:.1f}ms (first call {compile_s:.0f}s)", flush=True)
 
@@ -52,6 +55,7 @@ def tic(name, f, *args, reps=3):
 def main():
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     subdiv = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    budget = 1 << 22
     print("devices:", jax.devices(), flush=True)
     scene = cloth_on_sphere(grid_n=grid, sphere_subdiv=subdiv, drop=0.25)
     v0 = jnp.asarray(scene.vertices_t0, jnp.float32)
@@ -65,38 +69,40 @@ def main():
         vb = build_vertex_boxes(v0, v1, dtype=jnp.float32)
         eb = build_edge_boxes(vb, E)
         fb = build_face_boxes(vb, F)
-        vfs = sort_boxes(merge_two_lists(vb, fb))
-        ees = sort_boxes(eb)
-        kv = count_major_runs(vfs, jnp.int32(0), vfs.n)
-        ke = count_major_runs(ees, jnp.int32(0), ees.n)
-        return vfs, ees, kv, ke
+        return sort_boxes(merge_two_lists(vb, fb)), sort_boxes(eb)
 
-    tic("boxes+sort+runs", lambda: prep(v0, v1, E, F)[2][-1:])
-    vfs, ees, kv, ke = prep(v0, v1, E, F)
+    tic("boxes+sort", lambda: prep(v0, v1, E, F)[0].major_min[-1:])
+    vfs, ees = prep(v0, v1, E, F)
 
-    @functools.partial(jax.jit, static_argnames=("is_vf",))
-    def sweep_only(sb, k, is_vf):
-        _, n, of = _sweep_compact(
-            sb, is_vf, k, 1 << 22, 1 << 16, 32, 1 << 13, 1 << 22, None,
-            slack=1 << 16,
-        )
-        return n, of
+    @functools.partial(jax.jit, static_argnames=("istwo",))
+    def sweep(packed, n, istwo):
+        return pallas_sweep_pairs(packed, n, istwo, budget=budget)
 
-    tic("sweep vf", lambda: sweep_only(vfs, kv, True))
-    tic("sweep ee", lambda: sweep_only(ees, ke, False))
-    print(
-        "survivors vf/ee:",
-        int(jax.device_get(sweep_only(vfs, kv, True)[0])),
-        int(jax.device_get(sweep_only(ees, ke, False)[0])),
-        flush=True,
+    packed_vf, n_vf = pack_boxes_ap(vfs)
+    packed_ee, n_ee = pack_boxes_ap(ees)
+    tic("sweep kernel vf", lambda: sweep(packed_vf, n_vf, True)[1])
+    tic("sweep kernel ee", lambda: sweep(packed_ee, n_ee, False)[1])
+
+    pairs, n_pairs, _ = sweep(packed_vf, n_vf, True)
+    npp = int(jax.device_get(n_pairs))
+    Q = 1 << max((npp - 1).bit_length(), 10)
+    chunk = pairs[:Q]
+    valid = jnp.arange(Q) < npp
+    q = gather_vf_queries(v0, v1, F, chunk, dtype=jnp.float32)
+    tic(
+        f"solver kernel vf ({npp} queries)",
+        lambda: pallas_find_roots(
+            q, valid, True, jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1e-6)
+        )[0],
     )
 
-    kw = dict(vf_budget=1 << 22, ee_budget=1 << 22, narrow_batch=1 << 16)
+    kw = dict(vf_budget=budget, ee_budget=budget, validate=False)
     tic("fused full", lambda: fused_ccd(v0, v1, E, F, **kw).toi)
     r = fused_ccd(v0, v1, E, F, **kw)
     print(
         f"toi={float(jax.device_get(r.toi)):.6f} "
         f"vf={int(jax.device_get(r.vf_total))} ee={int(jax.device_get(r.ee_total))} "
+        f"checks={int(jax.device_get(r.total_checks))} "
         f"overflow={bool(jax.device_get(r.overflowed))}",
         flush=True,
     )
