@@ -157,6 +157,11 @@ def sort_and_sweep(
         int(axis), int(bool(two_lists)), int(n_threads),
         ctypes.byref(out), ctypes.byref(next_axis),
     )
+    if count < 0:
+        raise MemoryError(
+            "native sweep ran out of memory even at batch size 1 "
+            "(the adaptive halving of sort_and_sweep.cpp:144-196)"
+        )
     if count == 0:
         pairs = np.zeros((0, 2), np.int32)
     else:

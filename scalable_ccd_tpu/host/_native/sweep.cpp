@@ -197,25 +197,65 @@ int64_t sccd_sort_and_sweep(
         ? n_threads
         : static_cast<int>(std::thread::hardware_concurrency());
     t = std::max(1, std::min<int>(t, 256));
-    std::vector<std::vector<int32_t>> locals(t);
-    std::vector<std::thread> threads;
-    const int64_t per = (n + t - 1) / t;
-    for (int ti = 0; ti < t; ++ti) {
-        const int64_t b = std::min<int64_t>(ti * per, n);
-        const int64_t e = std::min<int64_t>(b + per, n);
-        threads.emplace_back(
-            sweep_range, std::cref(s), b, e, two_lists != 0,
-            std::ref(locals[ti]));
+
+    // Box-batched sweep with halve-on-OOM retry, the reference's adaptive
+    // batching (sort_and_sweep.cpp:144-196): if a batch's thread-local pair
+    // vectors exhaust memory, the failed batch is re-run at half the size
+    // (already-emitted batches are kept).  SCCD_HOST_BATCH caps the initial
+    // batch for tests / memory-constrained callers.
+    int64_t batch = n;
+    if (const char* env = std::getenv("SCCD_HOST_BATCH")) {
+        const int64_t forced = std::atoll(env);
+        if (forced > 0)
+            batch = std::min(batch, forced);
     }
-    for (auto& th : threads)
-        th.join();
+    std::vector<std::vector<int32_t>> done;
+    int64_t batch_start = 0;
+    while (batch_start < n) {
+        const int64_t batch_end = std::min(batch_start + batch, n);
+        const int64_t span = batch_end - batch_start;
+        std::vector<std::vector<int32_t>> locals(t);
+        std::atomic<bool> oom(false);
+        std::vector<std::thread> threads;
+        const int64_t per = (span + t - 1) / t;
+        for (int ti = 0; ti < t; ++ti) {
+            const int64_t b = std::min<int64_t>(batch_start + ti * per, batch_end);
+            const int64_t e = std::min<int64_t>(b + per, batch_end);
+            threads.emplace_back([&, b, e, ti]() {
+                try {
+                    sweep_range(s, b, e, two_lists != 0, locals[ti]);
+                } catch (const std::bad_alloc&) {
+                    oom.store(true);
+                }
+            });
+        }
+        for (auto& th : threads)
+            th.join();
+        if (oom.load()) {
+            if (batch <= 1) {
+                *out_pairs = nullptr; // a single box's pairs do not fit
+                return -1;
+            }
+            batch = std::max<int64_t>(1, batch / 2);
+            continue; // retry the same range at half the batch
+        }
+        for (auto& l : locals)
+            if (!l.empty())
+                done.emplace_back(std::move(l));
+        batch_start = batch_end;
+    }
 
     int64_t total = 0;
-    for (const auto& l : locals)
+    for (const auto& l : done)
         total += static_cast<int64_t>(l.size());
-    auto* buf = static_cast<int32_t*>(std::malloc(total * sizeof(int32_t)));
+    auto* buf = static_cast<int32_t*>(std::malloc(
+        std::max<int64_t>(total, 1) * sizeof(int32_t)));
+    if (buf == nullptr) {
+        *out_pairs = nullptr;
+        return -1;
+    }
     int64_t off = 0;
-    for (const auto& l : locals) {
+    for (const auto& l : done) {
         std::memcpy(buf + off, l.data(), l.size() * sizeof(int32_t));
         off += static_cast<int64_t>(l.size());
     }

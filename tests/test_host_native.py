@@ -120,3 +120,33 @@ def test_empty():
         np.zeros((0, 3), np.int32), np.zeros((0,), np.int32),
     )
     assert pairs.shape == (0, 2)
+
+
+def test_batched_sweep_matches_unbatched(monkeypatch):
+    """SCCD_HOST_BATCH forces the adaptive box batching (the reference's
+    halve-on-OOM loop, sort_and_sweep.cpp:144-196); the pair set must be
+    identical to the single-batch run."""
+    import os
+
+    import numpy as np
+
+    from scalable_ccd_tpu import host
+    from scalable_ccd_tpu.geometry.scenes import triangle_soup
+
+    if not host.native_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    scene = triangle_soup(150, motion=0.2, seed=7)
+    vmin, vmax = host.build_vertex_boxes(scene.vertices_t0, scene.vertices_t1)
+    f = np.asarray(scene.faces, np.int32)
+    emin, emax = host.build_element_boxes(vmin, vmax, f)
+    vids = np.stack([f[:, 0], f[:, 1], f[:, 2]], axis=1).astype(np.int32)
+    eids = np.arange(len(f), dtype=np.int32)
+
+    full, ax_full = host.sort_and_sweep(emin, emax, vids, eids)
+    monkeypatch.setenv("SCCD_HOST_BATCH", "7")
+    batched, ax_b = host.sort_and_sweep(emin, emax, vids, eids)
+    assert ax_b == ax_full
+    assert set(map(tuple, full.tolist())) == set(map(tuple, batched.tolist()))
+    assert len(full) > 0
