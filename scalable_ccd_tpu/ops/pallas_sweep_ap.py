@@ -64,6 +64,11 @@ _V0, _V1, _V2, _EID, _POS = range(5)
 #: a box whose major extent exceeds this multiple of the mean is "long"
 _LONG_EXTENT_FACTOR = 4.0
 
+#: below this box count the extent-class permutation costs more than the
+#: subtile skew it removes (measured: ~9 ms pack overhead at 220k boxes,
+#: ~25% sweep win at 3M boxes)
+_CLASSIFY_MIN_BOXES = 1 << 19
+
 
 def pack_boxes_ap(sorted_boxes, n_real=None):
     """SortedBoxes -> ((6, R, 128) f32, (5, R, 128) i32, n) kernel planes.
@@ -106,11 +111,15 @@ def pack_boxes_ap(sorted_boxes, n_real=None):
         [_SENTINEL, _SENTINEL, _SENTINEL, 0, 2**30], jnp.int32
     )
 
-    extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
-    thr = _LONG_EXTENT_FACTOR * jnp.mean(extent)
-    # stable partition: short boxes first, long boxes after, each class in
-    # sorted-position order; ONE row gather per dtype applies it
-    order = jnp.argsort((extent > thr).astype(jnp.int32), stable=True)
+    if n >= _CLASSIFY_MIN_BOXES:
+        extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
+        thr = _LONG_EXTENT_FACTOR * jnp.mean(extent)
+        # stable partition: short boxes first, long boxes after, each class
+        # in sorted-position order; ONE row gather per dtype applies it
+        order = jnp.argsort((extent > thr).astype(jnp.int32), stable=True)
+    else:
+        # small scenes: subtile skew is cheap, the permutation gather is not
+        order = None
 
     def planes(cols, fill, perm):
         if perm is not None:
