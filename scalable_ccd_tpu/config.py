@@ -119,10 +119,11 @@ class CCDConfig:
     #: identical pair set (tests/test_sweep_decoders.py).
     broad_impl: str = "fast"
 
-    #: Narrow-phase solver: "bfs" (queue-based, the TPU fast path) or "dfs"
+    #: Narrow-phase solver: "bfs" (XLA queue, the portable fast path),
+    #: "pallas" (the Mosaic hardware kernel, ``ops/pallas_solver.py`` —
+    #: global mode only; exact modes fall back to "bfs"), or "dfs"
     #: (per-query bounded-stack, the exact-exploration-order oracle twin).
-    #: Both satisfy the same conservative contract; see
-    #: ``narrow_phase/bfs.py`` vs ``narrow_phase/root_finder.py``.
+    #: All satisfy the same conservative contract.
     solver: str = "bfs"
 
     #: DFS stack capacity per query in the narrow phase.  The reference uses

@@ -143,10 +143,38 @@ def _partial_ccd(
                 q = gather_vf_queries(v0, v1, faces, overlaps, dtype=dtype)
             else:
                 q = gather_ee_queries(v0, v1, edges, overlaps, dtype=dtype)
-            solve = find_roots_bfs if config.solver == "bfs" else find_roots
+            exact = (
+                config.toi_per_query
+                or collisions is not None
+                or max_iter >= 0
+            )
+            if config.solver == "pallas" and not exact:
+                # the hardware kernel covers the global fast path; exact
+                # modes fall through to the XLA queue solver below
+                from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
+                from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
+
+                toi_k, _, checks_k = pallas_find_roots(
+                    q, valid, is_vf, jnp.asarray(toi, dtype),
+                    jnp.asarray(ms, dtype), jnp.asarray(tolerance, dtype),
+                    allow_zero_toi=zero_ok,
+                    interpret=_pallas_interpret(),
+                )
+                toi = float(toi_k)
+                stats.narrow_checks += int(checks_k)
+                logger().debug(
+                    "ToI after %s batch (%d queries): %e",
+                    "VF" if is_vf else "EE", n, toi,
+                )
+                if collisions is None and toi <= 0:
+                    return toi
+                continue
+            solve = (
+                find_roots if config.solver == "dfs" else find_roots_bfs
+            )
             kw = (
                 {"stack_capacity": config.stack_capacity}
-                if config.solver != "bfs"
+                if config.solver == "dfs"
                 else {}
             )
             res = solve(
@@ -224,6 +252,7 @@ def ccd(
     stats: Optional[CCDStats] = None,
     validate: bool = True,
     ipc_refine: bool = False,
+    pca: bool = False,
 ):
     """Earliest time of impact over all vertex-face and edge-edge pairs.
 
@@ -242,6 +271,15 @@ def ccd(
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
 
         validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces)
+    if pca:
+        # opt-in PCA world rotation (``nipals_pca``, ``utils/pca.cpp:5-47``):
+        # rigid, so the TOI is invariant; only candidate counts change
+        from scalable_ccd_tpu.utils.pca import apply_pca
+
+        vertices_t0, vertices_t1, _ = apply_pca(
+            jnp.asarray(vertices_t0, config.jnp_dtype),
+            jnp.asarray(vertices_t1, config.jnp_dtype),
+        )
     dtype = config.jnp_dtype
 
     with profiler().scope("ccd"):

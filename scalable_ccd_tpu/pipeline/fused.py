@@ -759,6 +759,7 @@ def fused_ccd(
     validate: bool = True,
     collisions: Optional[list] = None,
     solver: Optional[str] = None,
+    pca: bool = False,
     **kwargs,
 ) -> FusedCCDResult:
     """Single-chip fused CCD: one dispatch for the whole two-frame query.
@@ -788,6 +789,16 @@ def fused_ccd(
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
 
         validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces)
+    if pca:
+        # world-rotation preconditioner so the sort axis aligns with the
+        # direction of maximum spread (``nipals_pca``, the reference's
+        # opt-in PCA path, ``utils/pca.cpp:5-47``); rigid rotation, so the
+        # TOI is invariant and only candidate counts change
+        from scalable_ccd_tpu.utils.pca import apply_pca
+
+        vertices_t0, vertices_t1, _ = apply_pca(
+            jnp.asarray(vertices_t0), jnp.asarray(vertices_t1)
+        )
     if solver is None:
         exact = collisions is not None or kwargs.get("max_iterations", -1) >= 0
         solver = "bfs" if (exact or _pallas_interpret()) else "pallas"

@@ -211,3 +211,34 @@ def test_ipc_refinement_is_per_chunk():
 
     # plain ccd with the same separation reports the immediate band contact
     assert ccd(v0, v1, edges, faces, min_distance=0.05, config=cfg) < 1e-6
+
+
+def test_ccd_pca_invariance():
+    """The opt-in PCA world rotation (nipals_pca analogue) must not change
+    the earliest TOI — rigid rotations preserve distances and linear
+    trajectories."""
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.5)
+    base = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+               config=CONFIG)
+    rot = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+              config=CONFIG, pca=True)
+    assert rot == pytest.approx(base, rel=1e-9, abs=1e-12)
+
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    f_base = fused_ccd(scene.vertices_t0, scene.vertices_t1, scene.edges,
+                       scene.faces, dtype=jnp.float64)
+    f_rot = fused_ccd(scene.vertices_t0, scene.vertices_t1, scene.edges,
+                      scene.faces, dtype=jnp.float64, pca=True)
+    assert float(f_rot.toi) == pytest.approx(float(f_base.toi), rel=1e-9)
+
+
+def test_chunked_pallas_solver_matches_bfs():
+    """config.solver='pallas' routes the chunked narrow phase through the
+    hardware kernel (interpret mode on CPU); global-mode TOI must match."""
+    scene = cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
+    base = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+               config=CONFIG.replace(dtype="float32"))
+    pal = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+              config=CONFIG.replace(dtype="float32", solver="pallas"))
+    assert pal == pytest.approx(base, abs=1e-6)
