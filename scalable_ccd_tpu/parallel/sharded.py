@@ -8,16 +8,19 @@ peer-to-peer copies, SURVEY.md §2.2).  Here:
 - The mesh inputs (two vertex frames + connectivity) are small and
   replicated; every chip builds and sorts boxes identically (cheaper than
   communicating a distributed sort for any realistic mesh size).
-- The sorted box range — and with it the pair-test work — is range-sharded:
-  shard s of S sweeps boxes [s*ceil(n/S), (s+1)*ceil(n/S)) against the
-  replicated sorted array (partner reads naturally cross the boundary, the
-  "halo" the reference's dead code also exploits,
-  ``_multigpu/broad_phase.cu:72-115``), then solves its own candidates
-  locally — no guess-and-rerun per-device buffers
-  (``_multigpu/broad_phase.cu:135-175``).
-- The only cross-chip traffic is one ``lax.pmin`` of the running TOI per
-  phase (VF then EE), riding ICI — replacing device-local ``atomicMin`` +
-  host reduction.
+- The sorted box range — and with it the sweep's pair-test work — is
+  range-sharded: shard s of S sweeps boxes [s*ceil(n/S), (s+1)*ceil(n/S))
+  against the replicated sorted array (partner reads naturally cross the
+  boundary, the "halo" the reference's dead code also exploits,
+  ``_multigpu/broad_phase.cu:72-115``).
+- The narrow phase is load-balanced: the compacted candidate buffers are
+  all-gathered (one ICI collective per phase) and each shard solves the
+  s-th stripe of every source shard's survivors, so solve work is even to
+  within S rows no matter where contacts concentrate — unlike the
+  reference's per-device buffers (``_multigpu/broad_phase.cu:135-175``).
+- The running TOI is ``pmin``'d across chips after every narrow batch,
+  giving shards the same mid-search pruning visibility as the reference's
+  ``atomicMin`` (``root_finder.cu:295,323``).
 
 Works on any ``jax.sharding.Mesh``, including the CPU-backed virtual meshes
 used in tests.

@@ -6,18 +6,19 @@ launch).  On TPU the same pipeline fuses into ONE jitted program with static
 work budgets — zero host round-trips:
 
 1. box build -> sort (VF two-list merge + EE one-list);
-2. **sweep**: gather-free shift-block enumeration — boxes ``i`` vs partners
-   ``i + s`` for windows of shifts via contiguous slices and VPU compares
-   (minor-axis overlap, simplex validity, covertex — the tests of
-   ``cuda/broad_phase/sweep.cu:139-181``) under a ``lax.while_loop`` that
-   skips tiles with no runs long enough, then **compact survivors into a
-   dense candidate buffer** with a sort + contiguous copy — the functional
-   equivalent of the reference's ``add_overlap`` atomic append
-   (``collision.cuh:45-54``);
-3. **narrow phase**: a second ``while_loop`` over dense candidate batches,
-   each solved by the stack-queue root finder, threading the running TOI so
-   later batches are pruned by earlier hits (the device-side twin of the
-   chunk loop ``ccd.cu:55-76``).
+2. **sweep**: on TPU, the all-pairs subtile Mosaic kernel
+   (:mod:`scalable_ccd_tpu.ops.pallas_sweep_ap`); elsewhere (or on
+   request) the XLA shift-block enumeration in :func:`_sweep_compact` —
+   boxes ``i`` vs partners ``i + s`` via contiguous slices and VPU
+   compares (the filter tests of ``cuda/broad_phase/sweep.cu:139-181``),
+   survivors sort-compacted into a dense buffer — the functional
+   ``add_overlap`` atomic append (``collision.cuh:45-54``);
+3. **narrow phase**: a ``while_loop`` over dense candidate batches, each
+   solved by the Mosaic DFS kernel
+   (:mod:`scalable_ccd_tpu.ops.pallas_solver`) on TPU or the XLA
+   stack-queue solver elsewhere, threading the running TOI so later
+   batches are pruned by earlier hits (the device-side twin of the chunk
+   loop ``ccd.cu:55-76``).
 
 Work is therefore proportional to the *true* candidate count, not to the
 pre-filter slot space (which can be 10-100x larger on sorted-axis-congested
@@ -27,12 +28,14 @@ a scalar flag and the caller falls back to the chunked
 overflow-and-retry protocol (``memory_handler.cpp:55-79``) moved to a single
 boundary.
 
-The same core runs under ``shard_map`` for multi-chip execution: every shard
-takes a contiguous range of the pre-filter slot space, compacts and solves
-its own candidates locally, and the only communication is one ``lax.pmin``
-per phase for the running TOI — the TPU-native replacement for the
-reference's ``atomicMin`` (``atomic_min_float.cuh``) and for the dead
-multi-GPU peer-copy design (``_multigpu/broad_phase.cu:72-115``).
+The same core runs under ``shard_map`` for multi-chip execution: every
+shard sweeps a contiguous box range, the compacted candidate buffers are
+pooled and re-striped across shards (one ICI ``all_gather`` per phase, so
+narrow work stays balanced wherever contacts concentrate), and the running
+TOI is ``pmin``'d after every narrow batch — the TPU-native replacement
+for the reference's ``atomicMin`` (``atomic_min_float.cuh``) and an
+upgrade over the dead multi-GPU peer-copy design
+(``_multigpu/broad_phase.cu:72-115``).
 """
 
 from __future__ import annotations
