@@ -119,12 +119,13 @@ class CCDConfig:
     #: identical pair set (tests/test_sweep_decoders.py).
     broad_impl: str = "fast"
 
-    #: Narrow-phase solver: "bfs" (XLA queue, the portable fast path),
-    #: "pallas" (the Mosaic hardware kernel, ``ops/pallas_solver.py`` —
-    #: global mode only; exact modes fall back to "bfs"), or "dfs"
-    #: (per-query bounded-stack, the exact-exploration-order oracle twin).
-    #: All satisfy the same conservative contract.
-    solver: str = "bfs"
+    #: Narrow-phase solver: "auto" (the Mosaic hardware kernel on TPU for
+    #: the global fast path — measured 40x over the XLA queue on the
+    #: host-driven pipeline — and "bfs" elsewhere and for exact modes),
+    #: "pallas" (force the kernel, interpret mode off-TPU), "bfs" (XLA
+    #: queue), or "dfs" (per-query bounded-stack, the exact-exploration-
+    #: order oracle twin).  All satisfy the same conservative contract.
+    solver: str = "auto"
 
     #: DFS stack capacity per query in the narrow phase.  The reference uses
     #: a global ring buffer grown on overflow (``ccd_buffer.cuh:7-83``);

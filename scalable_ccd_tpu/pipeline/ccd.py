@@ -148,11 +148,16 @@ def _partial_ccd(
                 or collisions is not None
                 or max_iter >= 0
             )
-            if config.solver == "pallas" and not exact:
+            from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
+
+            use_pallas = not exact and (
+                config.solver == "pallas"
+                or (config.solver == "auto" and not _pallas_interpret())
+            )
+            if use_pallas:
                 # the hardware kernel covers the global fast path; exact
                 # modes fall through to the XLA queue solver below
                 from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
-                from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
 
                 toi_k, _, checks_k = pallas_find_roots(
                     q, valid, is_vf, jnp.asarray(toi, dtype),
