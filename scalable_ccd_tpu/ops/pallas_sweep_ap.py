@@ -131,9 +131,13 @@ def pack_boxes_ap(sorted_boxes, n_real=None):
 
     bf = planes(f_cols, f_fill, order)
     bi = planes(i_cols, i_fill, order)
-    # the partner stream reads SORTED order (no reorder, no _POS use)
-    wf = planes(f_cols, f_fill, None)
-    wi = planes(i_cols, i_fill, None)
+    # the partner stream reads SORTED order; when the a-side was not
+    # permuted the same planes serve both sides (no second copy)
+    if order is None:
+        wf, wi = bf, bi
+    else:
+        wf = planes(f_cols, f_fill, None)
+        wi = planes(i_cols, i_fill, None)
     return (bf, bi, wf, wi), n
 
 
