@@ -66,10 +66,6 @@ from scalable_ccd_tpu.narrow_phase import (
 )
 from scalable_ccd_tpu.ops import compact_rows
 from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
-from scalable_ccd_tpu.ops.pallas_sweep import (
-    pack_boxes_for_pallas,
-    pallas_shifted_pair_filters,
-)
 from scalable_ccd_tpu.ops.pallas_sweep_ap import (
     pack_boxes_ap,
     pallas_sweep_pairs,
@@ -202,9 +198,6 @@ def _sweep_compact(
     # ~90 ms — see PERF.md.  Revisit at finer granularity if sparse scenes
     # dominate a workload.
 
-    if sweep_impl == "pallas":
-        packed_f, packed_i = pack_boxes_for_pallas(boxes, k_padded)
-
     block_rows = B * W
     # slack: a full block is always written contiguously at the write
     # pointer (rows past the kept prefix are overwritten by later blocks);
@@ -231,16 +224,10 @@ def _sweep_compact(
         shift0 = block * W
         box_start = shard_base + tile_c * B
 
-        if sweep_impl == "pallas":
-            first, second, keep = pallas_shifted_pair_filters(
-                packed_f, packed_i, box_start, shift0, shard_base + n_my,
-                box_tile=B, window=W, is_two_lists=is_vf,
-            )
-        else:
-            first, second, keep = shifted_pair_filters(
-                boxes, k_padded, box_start, B, shift0, W,
-                is_two_lists=is_vf, box_limit=shard_base + n_my,
-            )
+        first, second, keep = shifted_pair_filters(
+            boxes, k_padded, box_start, B, shift0, W,
+            is_two_lists=is_vf, box_limit=shard_base + n_my,
+        )
         # Survivors are sparse (typically < 1% of slots; most steps have
         # none at all), while the sort that compacts them costs ~0.5 ms per
         # 128k-row block — so count first (a cheap reduction) and only run
