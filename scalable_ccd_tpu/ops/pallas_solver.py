@@ -31,9 +31,10 @@ VMEM:
 Acceptance conditions, feasibility culls, tolerance/error semantics are
 identical to ``find_roots`` / ``find_roots_bfs`` (and to ``ccd_kernel``,
 ``root_finder.cu:311-368``); tolerances and error bounds are computed once
-in XLA and shipped in the packed query rows.  Global-mode only
-(``toi_per_query=False``, unbounded iterations) — exact per-query modes
-stay on the XLA solvers.
+in XLA and shipped in the packed query rows.  All three reference modes
+run on hardware: the global fast path, the exact per-query TOI_PER_QUERY
+mode (per-lane TOI plane output, own-TOI pruning), and the bounded
+iteration count (per-lane check counters).
 """
 
 from __future__ import annotations
@@ -120,17 +121,30 @@ def _solver_kernel(
     valid_ref,   # (8, 128) i32 validity mask
     toi0_ref,    # (1, 1) f32 SMEM: initial TOI bound for the whole call
     cotol_ref,   # (1, 1) f32 SMEM: co-domain tolerance
-    toi_out_ref,     # (1, 1) f32 SMEM out per block: running TOI after block
-    ovf_out_ref,     # (1, 1) i32 SMEM out per block: overflow flag
-    checks_out_ref,  # (1, 1) i32 SMEM out per block: domains evaluated
-    stack_val,   # VMEM (D, 8, 128) f32 scratch
-    stack_meta,  # VMEM (D, 8, 128) i32 scratch
-    toi_run,     # SMEM (1, 1) f32 scratch, persists across the grid
-    *,
+    *refs,       # outputs then scratch; see below
     is_vf: bool,
     allow_zero_toi: bool,
     unroll: bool,
+    per_query: bool,
+    max_iterations: int,
 ):
+    """One grid step = one 1024-query block.
+
+    ``per_query`` is the reference's ``SCALABLE_CCD_TOI_PER_QUERY`` build
+    (``root_finder.cu:293-298,324-326``): every lane prunes only against
+    its OWN running TOI and an exact per-lane TOI plane is written out —
+    the global bound is still reported but never used to prune, so each
+    pair's time is exact.  ``max_iterations >= 0`` drops (never accepts)
+    domains past the per-lane check count, matching the reference's
+    bounded mode (``root_finder.cu:303-305`` returns without accepting).
+    """
+    if per_query:
+        (toi_out_ref, ovf_out_ref, checks_out_ref, pq_out_ref,
+         stack_val, stack_meta, toi_run) = refs
+    else:
+        (toi_out_ref, ovf_out_ref, checks_out_ref,
+         stack_val, stack_meta, toi_run) = refs
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         toi_run[0, 0] = toi0_ref[0, 0]
@@ -186,16 +200,26 @@ def _solver_kernel(
 
     def body(state):
         (lo0, lo1, lo2, hi0, hi1, hi2, sp, cur_ok_i, pend_min, toi_blk,
-         checks, ovf_i, rounds) = state
+         tpq, checks_lane, checks, ovf_i, rounds) = state
         # Mosaic cannot carry i1 vectors through scf.while — flags ride as i32
         cur_ok = cur_ok_i != 0
         lo = (lo0, lo1, lo2)
         hi = (hi0, hi1, hi2)
 
-        bound = jnp.minimum(toi_blk, toi_run[0, 0])
+        if per_query:
+            # exact mode: each lane prunes only against its own TOI
+            # (root_finder.cu:297 under TOI_PER_QUERY)
+            bound = tpq
+        else:
+            bound = jnp.minimum(toi_blk, toi_run[0, 0])
         min_t = lo0
         pruned = min_t >= bound
         active = cur_ok
+        if max_iterations >= 0:
+            # the reference compares the pre-increment per-query counter and
+            # DROPS past the cap (root_finder.cu:289,303-305 — no accept)
+            pruned = pruned | (checks_lane > max_iterations)
+        checks_lane = checks_lane + active.astype(jnp.int32)
         checks = checks + jnp.sum(active, dtype=jnp.int32)
 
         cmin, cmax = corners_minmax(lo, hi)
@@ -239,6 +263,7 @@ def _solver_kernel(
 
         acc_t = jnp.where(accept, min_t, inf)
         toi_blk = jnp.minimum(toi_blk, jnp.min(acc_t))
+        tpq = jnp.minimum(tpq, acc_t)
 
         # ---- split lanes: save the replaced upper bound, descend child1 --
         is_t = split == 0
@@ -304,11 +329,11 @@ def _solver_kernel(
 
         return (lo0, lo1, lo2, hi0, hi1, hi2, sp,
                 cur_ok.astype(jnp.int32), pend_min,
-                toi_blk, checks, ovf_i, rounds + 1)
+                toi_blk, tpq, checks_lane, checks, ovf_i, rounds + 1)
 
     def cond(state):
         sp, cur_ok_i = state[6], state[7]
-        rounds = state[12]
+        rounds = state[-1]
         return jnp.any((cur_ok_i != 0) | (sp > 0)) & (rounds < _MAX_ROUNDS)
 
     zero = jnp.zeros((_SUB, _LANE), jnp.float32)
@@ -319,12 +344,15 @@ def _solver_kernel(
         valid.astype(jnp.int32),
         jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),
         toi_run[0, 0],
+        jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),
+        jnp.zeros((_SUB, _LANE), jnp.int32),
         jnp.int32(0),
         jnp.int32(0),
         jnp.int32(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    (lo0, _, _, _, _, _, sp, cur_ok_i, pend_min, toi_blk, checks, ovf_i, _) = state
+    (lo0, _, _, _, _, _, sp, cur_ok_i, pend_min, toi_blk, tpq, _,
+     checks, ovf_i, _) = state
     cur_ok = cur_ok_i != 0
 
     # round cap: conservative-accept whatever is still alive or pending.
@@ -337,6 +365,7 @@ def _solver_kernel(
     )
     capped = jnp.any(leftover)
     toi_blk = jnp.where(capped, jnp.minimum(toi_blk, jnp.min(left_t)), toi_blk)
+    tpq = jnp.minimum(tpq, left_t)
     ovf_i = ovf_i | capped.astype(jnp.int32)
 
     toi_new = jnp.minimum(toi_run[0, 0], toi_blk)
@@ -345,6 +374,8 @@ def _solver_kernel(
     toi_out_ref[i, 0] = toi_new
     ovf_out_ref[i, 0] = ovf_i
     checks_out_ref[i, 0] = checks
+    if per_query:
+        pq_out_ref[0] = jnp.where(valid, tpq, jnp.float32(jnp.inf))
 
 
 def _pack_queries(queries: CCDQueries, tol, err, ms_arr, n_blocks):
@@ -366,7 +397,10 @@ def _pack_queries(queries: CCDQueries, tol, err, ms_arr, n_blocks):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_vf", "allow_zero_toi", "interpret"),
+    static_argnames=(
+        "is_vf", "allow_zero_toi", "interpret", "toi_per_query",
+        "max_iterations",
+    ),
 )
 def pallas_find_roots(
     queries: CCDQueries,
@@ -377,13 +411,27 @@ def pallas_find_roots(
     tolerance,
     allow_zero_toi: bool = True,
     interpret: bool = False,
+    toi_per_query: bool = False,
+    max_iterations: int = -1,
 ):
-    """Global-mode batched earliest-TOI solve on the TPU kernel.
+    """Batched earliest-TOI solve on the TPU kernel.
 
-    Same contract as ``find_roots_bfs(..., toi_per_query=False,
-    max_iterations=-1)``: returns ``(toi, overflowed, total_checks)`` where
-    ``toi`` is min(toi_init, earliest accepted time) and overflow means a
-    conservative accept was taken somewhere (result valid, possibly early).
+    Global mode (default): same contract as ``find_roots_bfs(...,
+    toi_per_query=False)`` — returns ``(toi, overflowed, total_checks)``
+    where ``toi`` is min(toi_init, earliest accepted time) and overflow
+    means a conservative accept was taken somewhere (result valid,
+    possibly early).
+
+    ``toi_per_query=True`` is the reference's TOI_PER_QUERY build
+    (``root_finder.cu:293-298,324-326``): returns ``(toi, overflowed,
+    total_checks, per_query_toi)`` with an exact ``(Q,)`` per-pair TOI
+    (+inf where no contact / invalid); lanes prune only against their own
+    TOI, so each entry is order-independent.
+
+    ``max_iterations >= 0`` bounds the per-query domain-check count,
+    dropping (not accepting) domains past it — the reference's bounded
+    mode, a speed/accuracy knob that is NOT conservative, identical to
+    the XLA solvers' semantics.
     """
     dt = jnp.float32
     Q = queries.n
@@ -407,9 +455,31 @@ def pallas_find_roots(
 
     kernel = functools.partial(
         _solver_kernel, is_vf=is_vf, allow_zero_toi=allow_zero_toi,
-        unroll=not interpret,
+        unroll=not interpret, per_query=toi_per_query,
+        max_iterations=max_iterations,
     )
-    toi_b, ovf_b, checks_b = pl.pallas_call(
+    out_specs = [
+        # whole-array SMEM refs: each grid step writes its own row
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks, 1), dt),
+        jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
+        jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
+    ]
+    if toi_per_query:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, _SUB, _LANE), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_blocks, _SUB, _LANE), dt)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -424,17 +494,8 @@ def pallas_find_roots(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            # whole-array SMEM refs: each grid step writes its own row
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, 1), dt),
-            jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((_DEPTH, _SUB, _LANE), jnp.float32),
             pltpu.VMEM((_DEPTH, _SUB, _LANE), jnp.int32),
@@ -443,6 +504,11 @@ def pallas_find_roots(
         interpret=interpret,
     )(qp, v, toi0, cotol)
 
+    toi_b, ovf_b, checks_b = outs[:3]
     toi = jnp.min(toi_b)
     overflowed = jnp.any(ovf_b != 0)
+    if toi_per_query:
+        pq = outs[3].reshape(total)[:Q]
+        toi = jnp.minimum(toi, jnp.min(pq, initial=jnp.inf))
+        return toi, overflowed, jnp.sum(checks_b), pq
     return toi, overflowed, jnp.sum(checks_b)

@@ -70,24 +70,35 @@ _LONG_EXTENT_FACTOR = 4.0
 _CLASSIFY_MIN_BOXES = 1 << 19
 
 
-def pack_boxes_ap(sorted_boxes, n_real=None):
+def pack_boxes_ap(
+    sorted_boxes,
+    n_real=None,
+    classify_min_boxes: int = _CLASSIFY_MIN_BOXES,
+    long_extent_factor: float = _LONG_EXTENT_FACTOR,
+    pad_to_tiles: int = 0,
+):
     """SortedBoxes -> ((6, R, 128) f32, (5, R, 128) i32, n) kernel planes.
 
     Rows are 128-box groups, padded so every window DMA stays in bounds;
     padding boxes have ``major_min = +big`` (the partner stream terminates
     before them), inverted minors, sentinel ids, and a +big position.
 
-    The a-side enumeration is **extent-classed**: boxes whose major extent
-    exceeds ``_LONG_EXTENT_FACTOR x mean`` are stably partitioned to the
+    The a-side enumeration is **extent-classed** (for scenes of at least
+    ``classify_min_boxes`` boxes): boxes whose major extent exceeds
+    ``long_extent_factor x mean`` are stably partitioned to the
     back, so the few long-run boxes (e.g. large static-obstacle faces
     scattered through a fine cloth) share subtiles with each other instead
     of inflating every subtile's partner range to their run length — a
     subtile streams partners until none of ITS boxes can reach further.
     The partner stream still reads sorted order through the ``_POS`` plane,
-    so the pair set is unchanged (verified against the XLA sweep).
+    so the pair set is unchanged (verified against the XLA sweep; the
+    parameters exist so tests can force the permuted path on small scenes).
     """
     n = sorted_boxes.n if n_real is None else n_real
-    rows = -(-n // _LANE) + 2 * (_WIN // _LANE)
+    # ``pad_to_tiles`` rounds the a-side up to a whole number of subtiles
+    # per shard so every shard of a range-sharded sweep can run the same
+    # static grid (trailing subtiles are all-padding and stream nothing)
+    rows = max(-(-n // _LANE), pad_to_tiles * _SUB) + 2 * (_WIN // _LANE)
     total = rows * _LANE
     big = jnp.asarray(jnp.finfo(jnp.float32).max / 8, jnp.float32)
 
@@ -111,9 +122,9 @@ def pack_boxes_ap(sorted_boxes, n_real=None):
         [_SENTINEL, _SENTINEL, _SENTINEL, 0, 2**30], jnp.int32
     )
 
-    if n >= _CLASSIFY_MIN_BOXES:
+    if n >= classify_min_boxes:
         extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
-        thr = _LONG_EXTENT_FACTOR * jnp.mean(extent)
+        thr = long_extent_factor * jnp.mean(extent)
         # stable partition: short boxes first, long boxes after, each class
         # in sorted-position order; ONE row gather per dtype applies it
         order = jnp.argsort((extent > thr).astype(jnp.int32), stable=True)
@@ -143,6 +154,10 @@ def pack_boxes_ap(sorted_boxes, n_real=None):
 
 def _sweep_kernel(
     n_ref,        # (1, 1) i32 SMEM: real box count
+    tile0_ref,    # (1, 1) i32 SMEM: first a-side subtile of this call's
+                  # range (nonzero when a shard sweeps a slice of the
+                  # sorted array, cf. the reference's range shard
+                  # ``_multigpu/broad_phase.cu:72``)
     bf_hbm,       # (6, R, 128) f32 in HBM: a-side (extent-classed order)
     bi_hbm,       # (5, R, 128) i32 in HBM: a-side ids + positions
     wf_hbm,       # (6, R, 128) f32 in HBM: partner side (sorted order)
@@ -161,11 +176,16 @@ def _sweep_kernel(
     is_two_lists: bool,
     budget: int,
 ):
-    t = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
+    t = tile0_ref[0, 0] + pl.program_id(0)
     n = n_ref[0, 0]
+    # static clamp for the stream start: an all-padding subtile (a shard's
+    # trailing tiles) has min(a_pos) = +big; clamping keeps the window
+    # preload in bounds while the stream loop's `j < n` test still makes it
+    # a no-op (the packing always pads two windows past the real boxes)
+    total_rows = bf_hbm.shape[1]
+    j_clamp = total_rows * _LANE - 2 * _WIN
 
-    @pl.when(t == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _():
         state[0] = 0
         state[1] = 0
@@ -190,7 +210,7 @@ def _sweep_kernel(
     a_pos = a_i[_POS]  # sorted-order positions (+big on padding)
     # the partner stream starts just past the subtile's earliest box,
     # rounded down to keep the 8-partner batches aligned
-    j0 = (jnp.min(a_pos) + 1) // 8 * 8
+    j0 = jnp.minimum((jnp.min(a_pos) + 1) // 8 * 8, jnp.int32(j_clamp))
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
     flatpos = sub_iota * _LANE + lane_iota  # a-box index within subtile
@@ -377,7 +397,7 @@ def _sweep_kernel(
     )
 
     # final flush on the last subtile: the stage holds cc % _STAGE pairs
-    @pl.when(t == n_tiles - 1)
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
         rem = state[1] % _STAGE
 
@@ -390,10 +410,12 @@ def _sweep_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_two_lists", "budget", "interpret")
+    jax.jit,
+    static_argnames=("is_two_lists", "budget", "interpret", "n_tiles"),
 )
 def pallas_sweep_pairs(
-    packed, n, is_two_lists: bool, budget: int, interpret: bool = False
+    packed, n, is_two_lists: bool, budget: int, interpret: bool = False,
+    tile0=None, n_tiles: int = 0,
 ):
     """Run the all-pairs sweep kernel over packed box planes.
 
@@ -402,10 +424,22 @@ def pallas_sweep_pairs(
     surviving element-id pairs in rows ``[0, n_pairs)`` (order is
     deterministic but not sorted), ``overflow`` True when the budget was
     exceeded (missing pairs — caller must retry or fall back).
+
+    ``tile0``/``n_tiles`` restrict the a-side to subtiles
+    ``[tile0, tile0 + n_tiles)`` — the range shard of a multi-chip sweep
+    (the reference's dead multi-GPU design shards exactly this way,
+    ``_multigpu/broad_phase.cu:72-115``); the partner stream still covers
+    the whole sorted array, so the union over shards of the emitted pair
+    sets equals the single-chip set.  ``n_tiles`` must be static and the
+    packing padded with ``pad_to_tiles`` so every shard's range stays in
+    bounds; ``tile0`` may be traced (e.g. ``axis_index * n_tiles``).
     """
     bf, bi, wf, wi = packed
     n_static = bf.shape[1] * _LANE - 2 * _WIN  # upper bound on n
-    n_tiles = -(-n_static // _TILE)
+    if n_tiles <= 0:
+        n_tiles = -(-n_static // _TILE)
+    if tile0 is None:
+        tile0 = jnp.int32(0)
     PBR = -(-budget // _LANE) + _SUB  # rows incl. one stage of slack
 
     kernel = functools.partial(
@@ -416,13 +450,14 @@ def pallas_sweep_pairs(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -442,7 +477,11 @@ def pallas_sweep_pairs(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(jnp.asarray(n, jnp.int32).reshape(1, 1), bf, bi, wf, wi)
+    )(
+        jnp.asarray(n, jnp.int32).reshape(1, 1),
+        jnp.asarray(tile0, jnp.int32).reshape(1, 1),
+        bf, bi, wf, wi,
+    )
 
     flat = pairs.reshape(2, PBR * _LANE)
     return jnp.transpose(flat), n_pairs[0, 0], ovf[0, 0] != 0

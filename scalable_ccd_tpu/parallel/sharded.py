@@ -66,12 +66,28 @@ def make_sharded_ccd(
     sweep_batch: int = 1 << 17,
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,
+    sweep_impl: str = "auto",
+    solver: str = "auto",
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.
 
     Returns ``fn(v0, v1, edges, faces, min_distance, tolerance) ->``
     :class:`FusedCCDResult` with all inputs/outputs replicated.
+
+    ``sweep_impl``/``solver`` default to the Mosaic hardware kernels on
+    TPU (the same flagship path as single-chip :func:`fused_ccd`: the
+    range-sharded all-pairs sweep + the in-VMEM DFS solver with per-batch
+    ``pmin`` TOI exchange) and to the XLA twins elsewhere; pass
+    ``"pallas_ap"``/``"pallas"`` explicitly to force the kernels (e.g.
+    interpret-mode tests).
     """
+    from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
+
+    if sweep_impl == "auto":
+        sweep_impl = "xla" if _pallas_interpret() else "pallas_ap"
+    if solver == "auto":
+        exact = max_iterations >= 0
+        solver = "bfs" if (exact or _pallas_interpret()) else "pallas"
 
     def step(v0, v1, edges, faces, min_distance, tolerance):
         return fused_ccd_core(
@@ -91,6 +107,8 @@ def make_sharded_ccd(
             sweep_batch=sweep_batch,
             sweep_window=sweep_window,
             shift_cap=shift_cap,
+            sweep_impl=sweep_impl,
+            solver=solver,
             axis_name=AXIS,
         )
 
@@ -99,7 +117,8 @@ def make_sharded_ccd(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=FusedCCDResult(toi=P(), overflowed=P(), vf_total=P(),
-                              ee_total=P(), total_checks=P()),
+                              ee_total=P(), total_checks=P(),
+                              solver_capped=P()),
         check_vma=False,
     )
     return jax.jit(sharded)

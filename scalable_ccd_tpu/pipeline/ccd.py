@@ -143,30 +143,42 @@ def _partial_ccd(
                 q = gather_vf_queries(v0, v1, faces, overlaps, dtype=dtype)
             else:
                 q = gather_ee_queries(v0, v1, edges, overlaps, dtype=dtype)
-            exact = (
-                config.toi_per_query
-                or collisions is not None
-                or max_iter >= 0
-            )
             from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
 
-            use_pallas = not exact and (
+            use_pallas = (
                 config.solver == "pallas"
                 or (config.solver == "auto" and not _pallas_interpret())
-            )
+            ) and config.jnp_dtype == jnp.float32
             if use_pallas:
-                # the hardware kernel covers the global fast path; exact
-                # modes fall through to the XLA queue solver below
+                # the hardware kernel covers all three reference modes:
+                # global fast path, per-query TOI (TOI_PER_QUERY), and
+                # bounded iterations; f64 requests use the XLA solver below
                 from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
 
-                toi_k, _, checks_k = pallas_find_roots(
+                need_pq = config.toi_per_query or collisions is not None
+                out = pallas_find_roots(
                     q, valid, is_vf, jnp.asarray(toi, dtype),
                     jnp.asarray(ms, dtype), jnp.asarray(tolerance, dtype),
                     allow_zero_toi=zero_ok,
                     interpret=_pallas_interpret(),
+                    toi_per_query=need_pq,
+                    max_iterations=max_iter,
                 )
+                toi_k, capped_k, checks_k = out[:3]
                 toi = float(toi_k)
                 stats.narrow_checks += int(checks_k)
+                # the kernel reports one scalar conservative-accept flag per
+                # batch (stack/round-cap accepts); count it so the TPU
+                # default path keeps stats parity with the bfs branch below
+                stats.overflow_queries += int(capped_k)
+                if collisions is not None:
+                    pq = np.asarray(out[3])
+                    hits = np.nonzero(np.asarray(valid) & (pq < 1))[0]
+                    ov = np.asarray(overlaps)
+                    for i in hits:
+                        collisions.append(
+                            (int(ov[i, 0]), int(ov[i, 1]), float(pq[i]))
+                        )
                 logger().debug(
                     "ToI after %s batch (%d queries): %e",
                     "VF" if is_vf else "EE", n, toi,

@@ -98,6 +98,15 @@ class FusedCCDResult(NamedTuple):
     #: () int32 — total narrow-phase domain evaluations (the reference's
     #: ``nbr_checks`` across the batch; psum'd across shards when sharded)
     total_checks: jax.Array
+    #: () bool — the narrow phase took a conservative accept somewhere
+    #: (solver stack depth, queue spill, or round cap).  The TOI is still
+    #: conservative — possibly *earlier* than the true first contact —
+    #: unlike ``overflowed``, which means candidate pairs may be MISSING
+    #: and the result must be recomputed.  The reference instead re-runs
+    #: the chunk after rebalancing (``narrow_phase.cu:146-195``); here the
+    #: caller can choose to re-solve with a bigger solver or accept the
+    #: earlier time.
+    solver_capped: jax.Array
 
 
 class FusedCollisionsResult(NamedTuple):
@@ -112,6 +121,7 @@ class FusedCollisionsResult(NamedTuple):
     vf_total: jax.Array
     ee_total: jax.Array
     total_checks: jax.Array
+    solver_capped: jax.Array
     #: (vf_budget+, 2) int32 (vertex_id, face_id), hits compacted to front
     vf_hits: jax.Array
     #: (vf_budget+,) exact per-pair TOI for the compacted hits
@@ -134,7 +144,6 @@ def _sweep_compact(
     max_sweep_steps: int,
     axis_name: Optional[str],
     slack: int = 0,
-    sweep_impl: str = "xla",
     box_range=None,
 ):
     """Filter + compact the major-axis pair space into a dense pair buffer.
@@ -394,13 +403,44 @@ def _phase(
     — the functional ``thrust::copy_if`` (``narrow_phase.cu:197-202``).
     """
     n = sorted_boxes.n
-    if sweep_impl == "pallas_ap" and axis_name is None:
-        # all-pairs subtile sweep kernel: no run lengths, no shift cap
-        packed, n_real = pack_boxes_ap(sorted_boxes)
-        pairs, n_pairs, overflow = pallas_sweep_pairs(
-            packed, n_real, is_vf, budget=pair_budget,
-            interpret=_pallas_interpret(),
+    if sweep_impl not in ("xla", "pallas_ap"):
+        raise ValueError(
+            f"unknown sweep_impl {sweep_impl!r}: expected 'xla' or "
+            "'pallas_ap' (the shifted-window kernel value 'pallas' was "
+            "removed; use 'pallas_ap')"
         )
+    if solver not in ("pallas", "bfs", "dfs"):
+        raise ValueError(f"unknown solver {solver!r}")
+    if sweep_impl == "pallas_ap":
+        if axis_name is None:
+            # all-pairs subtile sweep kernel: no run lengths, no shift cap
+            packed, n_real = pack_boxes_ap(sorted_boxes)
+            pairs, n_pairs, overflow = pallas_sweep_pairs(
+                packed, n_real, is_vf, budget=pair_budget,
+                interpret=_pallas_interpret(),
+            )
+        else:
+            # range-sharded hardware sweep: shard s sweeps the a-side
+            # subtiles [s*T, (s+1)*T) of the (replicated) sorted array;
+            # the partner stream covers the whole array, so the union of
+            # the shards' pair sets is exactly the single-chip set — the
+            # TPU realization of the reference's dead multi-GPU range
+            # shard (``_multigpu/broad_phase.cu:72-115``), with the
+            # overflow budget applied per shard.
+            from scalable_ccd_tpu.ops.pallas_sweep_ap import _TILE
+
+            S = jax.lax.axis_size(axis_name)
+            me = jax.lax.axis_index(axis_name)
+            tiles_total = -(-n // _TILE)
+            tiles_per = -(-tiles_total // S)
+            packed, n_real = pack_boxes_ap(
+                sorted_boxes, pad_to_tiles=tiles_per * S
+            )
+            pairs, n_pairs, overflow = pallas_sweep_pairs(
+                packed, n_real, is_vf, budget=pair_budget,
+                interpret=_pallas_interpret(),
+                tile0=me * tiles_per, n_tiles=tiles_per,
+            )
         # slack rows so the narrow loop's dynamic slices never clamp
         pairs = jnp.concatenate(
             [pairs, jnp.full((batch, 2), jnp.int32(-(2**31) + 1))]
@@ -410,32 +450,32 @@ def _phase(
         pairs, n_pairs, overflow = _sweep_compact(
             sorted_boxes, is_vf, k,
             pair_budget, sweep_batch, sweep_window, shift_cap,
-            max_sweep_steps, axis_name, slack=batch, sweep_impl=sweep_impl,
+            max_sweep_steps, axis_name, slack=batch,
         )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
 
-    if solver == "pallas" and (collect or max_iterations >= 0):
-        raise ValueError(
-            "solver='pallas' is the global-mode fast path only; use 'bfs' "
-            "for per-pair collisions or bounded iterations"
-        )
-
     def run_solver(chunk, keep, toi):
+        """Solve one dense candidate batch; returns
+        ``(toi, checks, capped, per_query_toi_or_None)`` where ``capped``
+        is the scalar conservative-accept flag (solver stack/queue/
+        round-cap accepts — TOI valid but possibly early) and the per-query
+        TOIs are returned only in ``collect`` mode."""
         if is_vf:
             q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype)
         else:
             q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype)
         if solver == "pallas":
-            toi_k, _, checks_k = pallas_find_roots(
+            out = pallas_find_roots(
                 q, keep, is_vf, toi, ms, tolerance,
                 allow_zero_toi=allow_zero_toi,
                 interpret=_pallas_interpret(),
+                toi_per_query=collect,
+                max_iterations=max_iterations,
             )
-            # conservative accepts inside the kernel (stack/round caps) can
-            # only make the TOI earlier — same contract as the bfs solver's
-            # overflow accepts, so no flag surfaces here either
-            return toi_k, checks_k.astype(jnp.int32), None
+            toi_k, capped_k, checks_k = out[:3]
+            pq = out[3] if collect else None
+            return toi_k, checks_k.astype(jnp.int32), capped_k, pq
         if solver == "bfs":
             res = find_roots_bfs(
                 q, keep, is_vf,
@@ -453,7 +493,11 @@ def _phase(
                 stack_capacity=stack_capacity,
                 toi_per_query=collect,
             )
-        return res.toi, res.total_checks.astype(jnp.int32), res
+        return (
+            res.toi, res.total_checks.astype(jnp.int32),
+            jnp.any(res.overflow),
+            res.per_query_toi if collect else None,
+        )
 
     if collect:
         P = pairs.shape[0]
@@ -466,43 +510,47 @@ def _phase(
             return step * batch < n_pairs
 
         def body(st):
-            step, toi, pq, checks = st
+            step, toi, pq, checks, capped = st
             start = step * batch
             chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
             keep = (start + lane) < n_pairs
-            toi_new, ck, res = run_solver(chunk, keep, toi)
+            toi_new, ck, capped_b, pq_b = run_solver(chunk, keep, toi)
             pq = jax.lax.dynamic_update_slice_in_dim(
-                pq, res.per_query_toi.astype(dtype), start, axis=0
+                pq, pq_b.astype(dtype), start, axis=0
             )
-            return step + 1, jnp.minimum(toi, toi_new), pq, checks + ck
+            return (step + 1, jnp.minimum(toi, toi_new), pq, checks + ck,
+                    capped | capped_b)
 
-        _, toi, pq, checks = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), toi_in, pq0, jnp.int32(0))
+        _, toi, pq, checks, capped = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), toi_in, pq0, jnp.int32(0), jnp.zeros((), bool)),
         )
         slot = jnp.arange(P, dtype=jnp.int32)
         hit = (pq < 1.0) & (slot < n_pairs)
         n_hits, h_pairs, h_toi = compact_rows(hit, pairs, pq)
-        return toi, n_pairs, overflow, checks, h_pairs, h_toi, n_hits
+        return toi, n_pairs, overflow, checks, capped, h_pairs, h_toi, n_hits
 
     if axis_name is None:
         def cond(st):
-            step, toi, checks = st
+            step, toi, checks, capped = st
             # `toi > 0` early exit mirrors the reference chunk loop's
             # `remaining_queries && toi > 0` (narrow_phase.cu:136)
             return (step * batch < n_pairs) & (toi > 0)
 
         def body(st):
-            step, toi, checks = st
+            step, toi, checks, capped = st
             start = step * batch
             chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
             keep = (start + lane) < n_pairs
-            toi_new, ck, _ = run_solver(chunk, keep, toi)
-            return step + 1, jnp.minimum(toi, toi_new), checks + ck
+            toi_new, ck, capped_b, _ = run_solver(chunk, keep, toi)
+            return (step + 1, jnp.minimum(toi, toi_new), checks + ck,
+                    capped | capped_b)
 
-        _, toi, checks = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), toi_in, jnp.int32(0))
+        _, toi, checks, capped = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), toi_in, jnp.int32(0), jnp.zeros((), bool)),
         )
-        return toi, n_pairs, overflow, checks
+        return toi, n_pairs, overflow, checks, capped
 
     # ---- multi-chip narrow: pool, balance, co-prune ----------------------
     # The reference's dead multi-GPU design leaves each device to solve its
@@ -552,28 +600,31 @@ def _phase(
     used = jax.lax.pmax(used, axis_name)
 
     def cond(st):
-        step, toi, checks = st
+        step, toi, checks, capped = st
         # both operands are collectively uniform (pmax'd bound, pmin'd toi)
         return (step * batch < used) & (toi > 0)
 
     def body(st):
-        step, toi, checks = st
+        step, toi, checks, capped = st
         start = step * batch
         chunk = jax.lax.dynamic_slice_in_dim(pairs_bal, start, batch, axis=0)
         keep = jax.lax.dynamic_slice_in_dim(mask_bal, start, batch, axis=0)
-        toi_new, ck, _ = run_solver(chunk, keep, toi)
+        toi_new, ck, capped_b, _ = run_solver(chunk, keep, toi)
         # mid-phase TOI exchange: every shard sees every hit immediately
         toi = jax.lax.pmin(jnp.minimum(toi, toi_new), axis_name)
-        return step + 1, toi, checks + ck
+        return step + 1, toi, checks + ck, capped | capped_b
 
-    _, toi, checks = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jax.lax.pmin(toi_in, axis_name), jnp.int32(0))
+    _, toi, checks, capped = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jax.lax.pmin(toi_in, axis_name), jnp.int32(0),
+         jnp.zeros((), bool)),
     )
     toi = jax.lax.pmin(toi, axis_name)
     n_pairs = jax.lax.psum(n_pairs, axis_name)
     overflow = jax.lax.pmax(overflow, axis_name)
     checks = jax.lax.psum(checks, axis_name)
-    return toi, n_pairs, overflow, checks
+    capped = jax.lax.pmax(capped, axis_name)
+    return toi, n_pairs, overflow, checks, capped
 
 
 def fused_ccd_core(
@@ -643,11 +694,13 @@ def fused_ccd_core(
                 "per-pair collision collection is single-chip only; gather "
                 "hits per shard outside shard_map instead"
             )
-        toi1, vf_total, vf_over, vf_ck, vf_hits, vf_htoi, vf_n = _phase(
+        (toi1, vf_total, vf_over, vf_ck, vf_cap,
+         vf_hits, vf_htoi, vf_n) = _phase(
             vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
             toi_in=toi0, collect=True, **common,
         )
-        toi2, ee_total, ee_over, ee_ck, ee_hits, ee_htoi, ee_n = _phase(
+        (toi2, ee_total, ee_over, ee_ck, ee_cap,
+         ee_hits, ee_htoi, ee_n) = _phase(
             ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
             toi_in=toi1, collect=True, **common,
         )
@@ -655,20 +708,22 @@ def fused_ccd_core(
             toi=toi2, overflowed=vf_over | ee_over,
             vf_total=vf_total, ee_total=ee_total,
             total_checks=vf_ck + ee_ck,
+            solver_capped=vf_cap | ee_cap,
             vf_hits=vf_hits, vf_hit_toi=vf_htoi, vf_hit_count=vf_n,
             ee_hits=ee_hits, ee_hit_toi=ee_htoi, ee_hit_count=ee_n,
         )
-    toi1, vf_total, vf_over, vf_ck = _phase(
+    toi1, vf_total, vf_over, vf_ck, vf_cap = _phase(
         vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
         toi_in=toi0, **common,
     )
-    toi2, ee_total, ee_over, ee_ck = _phase(
+    toi2, ee_total, ee_over, ee_ck, ee_cap = _phase(
         ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
         toi_in=toi1, **common,
     )
     return FusedCCDResult(
         toi=toi2, overflowed=vf_over | ee_over, vf_total=vf_total,
         ee_total=ee_total, total_checks=vf_ck + ee_ck,
+        solver_capped=vf_cap | ee_cap,
     )
 
 
@@ -771,9 +826,11 @@ def fused_ccd(
     :func:`scalable_ccd_tpu.pipeline.ccd`.
 
     ``solver`` defaults to the Pallas hardware kernel
-    (:mod:`scalable_ccd_tpu.ops.pallas_solver`) on TPU for the global fast
-    path, and to the XLA queue solver ("bfs") elsewhere and for the exact
-    modes (collisions, bounded iterations).
+    (:mod:`scalable_ccd_tpu.ops.pallas_solver`) on TPU — for the global
+    fast path AND the exact modes (collisions → per-query kernel mode,
+    bounded iterations → per-lane check counters) — and to the XLA queue
+    solver ("bfs") off-TPU or when an f64 dtype is requested (the kernel
+    computes in f32).
     """
     if validate:
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
@@ -790,8 +847,12 @@ def fused_ccd(
             jnp.asarray(vertices_t0), jnp.asarray(vertices_t1)
         )
     if solver is None:
-        exact = collisions is not None or kwargs.get("max_iterations", -1) >= 0
-        solver = "bfs" if (exact or _pallas_interpret()) else "pallas"
+        # the kernel now covers the exact per-query and bounded-iteration
+        # modes too (the reference's TOI_PER_QUERY build is the same kernel
+        # under a flag, root_finder.cu:293-298); it computes in f32, so
+        # explicit f64 requests keep the XLA solver
+        f32 = kwargs.get("dtype", jnp.float32) == jnp.float32
+        solver = "pallas" if (f32 and not _pallas_interpret()) else "bfs"
     if kwargs.get("sweep_impl") is None:
         # the all-pairs sweep kernel on TPU; XLA shift-block elsewhere
         # (interpret-mode partner streaming is impractically slow on CPU)
@@ -821,5 +882,5 @@ def fused_ccd(
     return FusedCCDResult(
         toi=res.toi, overflowed=res.overflowed,
         vf_total=res.vf_total, ee_total=res.ee_total,
-        total_checks=res.total_checks,
+        total_checks=res.total_checks, solver_capped=res.solver_capped,
     )

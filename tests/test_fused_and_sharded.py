@@ -86,6 +86,32 @@ class TestSharded:
         assert int(res.vf_total) == int(single.vf_total)
         assert int(res.ee_total) == int(single.ee_total)
 
+    def test_eight_shards_kernel_path_matches_single_chip(self):
+        """The flagship Mosaic kernels under shard_map — the range-sharded
+        all-pairs sweep (``tile0``/``n_tiles``) + the solver kernel with
+        per-batch ``pmin`` TOI exchange — must produce exactly the
+        single-chip kernel path's TOI and pair totals (interpret mode on
+        the 8-device CPU mesh; the real-chip run is covered by
+        ``tools/bench_stages.py --sharded``)."""
+        s = cloth_on_sphere(grid_n=8, sphere_subdiv=0, drop=0.6)
+        args = _args(s, jnp.float32)
+        mesh = default_mesh()
+        assert mesh.size == 8
+        fn = make_sharded_ccd(
+            mesh, vf_budget_per_shard=1 << 12, ee_budget_per_shard=1 << 12,
+            dtype=jnp.float32, sweep_impl="pallas_ap", solver="pallas",
+        )
+        res = fn(*args, jnp.float32(0.0), jnp.float32(1e-6))
+        assert not bool(res.overflowed)
+        assert not bool(res.solver_capped)
+        single = fused_ccd(
+            *args, vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32,
+            sweep_impl="pallas_ap", solver="pallas",
+        )
+        assert float(res.toi) == float(single.toi)
+        assert int(res.vf_total) == int(single.vf_total)
+        assert int(res.ee_total) == int(single.ee_total)
+
     def test_per_shard_overflow_detected(self, scene):
         mesh = default_mesh()
         fn = make_sharded_ccd(

@@ -146,6 +146,118 @@ def test_kernel_min_separation():
     assert float(toi) == pytest.approx(float(ref.toi), abs=1e-7)
 
 
+@pytest.mark.parametrize("is_vf", [True, False])
+def test_kernel_per_query_mode_matches_bfs(is_vf):
+    """TOI_PER_QUERY on the kernel: exact per-pair TOIs, order-independent
+    (each lane prunes only against its own TOI, root_finder.cu:297), must
+    equal the XLA queue solver's exact mode."""
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, is_vf)
+    valid = jnp.ones((q.n,), bool)
+    ref = find_roots_bfs(
+        q, valid, is_vf, toi_init=jnp.float32(1.0), ms=jnp.float32(0.0),
+        tolerance=jnp.float32(1e-6), max_iterations=-1, toi_per_query=True,
+    )
+    toi, ovf, checks, pq = pallas_find_roots(
+        q, valid, is_vf, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True, toi_per_query=True,
+    )
+    ref_pq = np.asarray(ref.per_query_toi)
+    got_pq = np.asarray(pq)
+    assert got_pq.shape == ref_pq.shape
+    np.testing.assert_allclose(got_pq, ref_pq, rtol=0, atol=1e-7)
+    assert float(toi) == pytest.approx(float(ref.toi), abs=1e-7)
+    # global TOI is the min over per-query TOIs (test_narrow_phase.cu:59-63)
+    assert float(toi) == pytest.approx(
+        min(1.0, float(got_pq.min())), abs=1e-7
+    )
+
+
+def test_kernel_bounded_iterations_matches_dfs():
+    """max_iterations on the kernel (per-lane check counters) must match
+    the XLA per-query DFS twin exactly: same exploration order, same
+    pre-increment drop rule (root_finder.cu:289,303-305)."""
+    from scalable_ccd_tpu.narrow_phase import find_roots
+
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, True)
+    valid = jnp.ones((q.n,), bool)
+    for cap in (10, 100):
+        ref = find_roots(
+            q, valid, True, toi_init=jnp.float32(1.0), ms=jnp.float32(0.0),
+            tolerance=jnp.float32(1e-6), max_iterations=cap,
+            toi_per_query=True, stack_capacity=96,
+        )
+        toi, _, _, pq = pallas_find_roots(
+            q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+            jnp.float32(1e-6), interpret=True, toi_per_query=True,
+            max_iterations=cap,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pq), np.asarray(ref.per_query_toi), rtol=0, atol=1e-7
+        )
+
+
+def test_fused_collisions_pallas_matches_bfs():
+    """fused_ccd(collisions=...) on the kernel path (per-query mode) must
+    produce the same hit set and TOIs as the XLA solver."""
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    scene = cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
+    args = (
+        jnp.asarray(scene.vertices_t0, jnp.float32),
+        jnp.asarray(scene.vertices_t1, jnp.float32),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+    kw = dict(vf_budget=1 << 14, ee_budget=1 << 14, dtype=jnp.float32)
+    hits_bfs, hits_pal = [], []
+    r_bfs = fused_ccd(*args, solver="bfs", collisions=hits_bfs, **kw)
+    r_pal = fused_ccd(*args, solver="pallas", collisions=hits_pal, **kw)
+    assert len(hits_bfs) > 0
+    mb = {(a, b): t for a, b, t in hits_bfs}
+    mp = {(a, b): t for a, b, t in hits_pal}
+    assert set(mb) == set(mp)
+    for k in mb:
+        assert mp[k] == pytest.approx(mb[k], abs=1e-7)
+    assert float(r_pal.toi) == pytest.approx(float(r_bfs.toi), abs=1e-7)
+
+
+def test_kernel_depth_overflow_flags_and_stays_conservative(monkeypatch):
+    """A forced-tiny DFS stack must raise the conservative-accept flag and
+    report a TOI no LATER than the exact solve (the overflow contract:
+    report an earlier time, never drop a contact — the functional analogue
+    of the reference's overflow re-run, ``narrow_phase.cu:146-195``)."""
+    import scalable_ccd_tpu.ops.pallas_solver as ps
+
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, True)
+    valid = jnp.ones((q.n,), bool)
+    ref = find_roots_bfs(
+        q, valid, True, toi_init=jnp.float32(1.0), ms=jnp.float32(0.0),
+        tolerance=jnp.float32(1e-6), max_iterations=-1,
+    )
+    # at full depth the flag must NOT fire on this scene
+    toi_full, capped_full, _ = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    assert not bool(capped_full)
+
+    monkeypatch.setattr(ps, "_DEPTH", 6)
+    ps.pallas_find_roots.clear_cache()
+    try:
+        toi, capped, _ = ps.pallas_find_roots(
+            q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+            jnp.float32(1e-6), interpret=True,
+        )
+        assert bool(capped)
+        assert float(toi) <= float(ref.toi) + 1e-7
+    finally:
+        # drop traces compiled against the tiny depth
+        ps.pallas_find_roots.clear_cache()
+
+
 def test_fused_pipeline_pallas_solver_matches_bfs():
     scene = cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
     from scalable_ccd_tpu.pipeline.fused import fused_ccd
@@ -160,3 +272,5 @@ def test_fused_pipeline_pallas_solver_matches_bfs():
     r_bfs = fused_ccd(*args, solver="bfs", **kw)
     r_pal = fused_ccd(*args, solver="pallas", **kw)
     assert float(r_pal.toi) == pytest.approx(float(r_bfs.toi), abs=1e-6)
+    assert not bool(r_pal.solver_capped)
+    assert not bool(r_bfs.solver_capped)

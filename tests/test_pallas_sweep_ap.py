@@ -69,6 +69,60 @@ def test_kernel_budget_overflow_flags():
     assert _pairs_set(pairs, np_) == set(map(tuple, ref.tolist()))
 
 
+@pytest.mark.parametrize("is_two_lists", [True, False])
+def test_extent_classed_packing_matches(is_two_lists):
+    """Force the extent-class partition (normally gated to >= 2^19 boxes)
+    on a scene mixing a few giant boxes into fine geometry and assert exact
+    pair-set parity: covers the permuted a-side + sorted partner-stream
+    path (the ``order is not None`` branch of ``pack_boxes_ap`` with its
+    ``_POS`` plane / ``j0`` rounding / ``a_pos < jabs`` indexing)."""
+    from scalable_ccd_tpu.geometry.aabb import AABBs
+
+    rng = np.random.default_rng(7)
+    n_small, n_long = 300, 6
+    centers = rng.uniform(0.0, 10.0, (n_small, 3)).astype(np.float32)
+    half = rng.uniform(0.05, 0.3, (n_small, 3)).astype(np.float32)
+    # a few boxes spanning nearly the whole major axis — the long class
+    lc = rng.uniform(0.0, 10.0, (n_long, 2)).astype(np.float32)
+    lmin = np.stack([np.full(n_long, 0.5, np.float32), lc[:, 0] - 0.2, lc[:, 1] - 0.2], 1)
+    lmax = np.stack([np.full(n_long, 9.5, np.float32), lc[:, 0] + 0.2, lc[:, 1] + 0.2], 1)
+    mn = np.concatenate([centers - half, lmin])
+    mx = np.concatenate([centers + half, lmax])
+    n = n_small + n_long
+    ids = np.arange(n, dtype=np.int32)
+    vids = np.stack([2 * ids, 2 * ids + 1, -2 * ids - 1], axis=1)
+    if is_two_lists:
+        # alternate boxes into lists A (negative-tagged) and B
+        eid = np.where(ids % 2 == 0, -(ids // 2) - 1, ids // 2).astype(np.int32)
+    else:
+        eid = ids
+    boxes = AABBs(
+        min=jnp.asarray(mn), max=jnp.asarray(mx),
+        vertex_ids=jnp.asarray(vids), element_id=jnp.asarray(eid),
+    )
+    sb = sort_boxes(boxes)
+    ref = detect_overlaps(sb, is_two_lists=is_two_lists)
+    assert len(ref) > 0
+
+    packed, nn = pack_boxes_ap(sb, classify_min_boxes=1)
+    bf, bi, wf, wi = packed
+    assert wf is not bf, "classification did not activate"
+    pairs, np_, ovf = pallas_sweep_pairs(
+        packed, nn, is_two_lists, budget=1 << 15, interpret=True
+    )
+    assert not bool(ovf)
+    assert _pairs_set(pairs, np_) == set(map(tuple, ref.tolist()))
+
+    # and the unclassified packing agrees on the same scene
+    packed_u, nn_u = pack_boxes_ap(sb)
+    assert packed_u[2] is packed_u[0]
+    pairs_u, np_u, ovf_u = pallas_sweep_pairs(
+        packed_u, nn_u, is_two_lists, budget=1 << 15, interpret=True
+    )
+    assert not bool(ovf_u)
+    assert _pairs_set(pairs_u, np_u) == _pairs_set(pairs, np_)
+
+
 def test_kernel_empty_scene():
     soup = triangle_soup(4, motion=0.0, seed=5)
     _, eb, _ = _boxes(soup)
