@@ -23,19 +23,24 @@ This kernel restructures the sweep around the VPU:
   spread (1024-box granularity, vs per-4096-tile in the XLA path).
 - Partner data is DMA'd HBM->VMEM in aligned 1024-box windows ahead of the
   scalar cursor.
-- Survivors are extracted with a pop loop costing O(survivors): find the
-  max set lane by reduction, append its (first, second) element-id pair to
-  a VMEM collect buffer with scalar writes, clear the lane, repeat.  The
-  collect buffer flushes to the HBM pair buffer in 128-aligned DMA bursts
-  through a write pointer in SMEM scratch that persists across the
-  sequential grid — the functional ``add_overlap`` atomic append
-  (``collision.cuh:45-54``).
+- Survivors are extracted with a pop loop costing O(survivors): locate
+  the min- AND max-position set lanes with two independent reductions
+  (their latencies overlap — up to two pops per round), append RAW
+  ``(a_slot, partner_eid)`` rows to a VMEM collect buffer with one-hot
+  writes, clear the lanes, repeat.  The a-side value is the scalar the
+  position reduce already produced and the partner id one SMEM read, so
+  no per-pop value reductions exist; element ids and the emit convention
+  are resolved by ONE XLA gather per consumer batch
+  (:func:`decode_pairs_ap`).  The collect buffer flushes to the HBM pair
+  buffer in 128-aligned DMA bursts through a write pointer in SMEM
+  scratch that persists across the sequential grid — the functional
+  ``add_overlap`` atomic append (``collision.cuh:45-54``).
 - Pair-budget overflow sets a flag and stops appending (the caller falls
   back / retries, the reference's ``real_count`` protocol).
 
-Emit convention matches ``shifted_pair_filters`` / the reference
-(``sweep.cu:152-164``): one-list pairs are (min, max) element ids,
-two-list pairs (flip(min), max) with list A negative-tagged.
+The decoded emit convention matches ``shifted_pair_filters`` / the
+reference (``sweep.cu:152-164``): one-list pairs are (min, max) element
+ids, two-list pairs (flip(min), max) with list A negative-tagged.
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_sweep_pairs", "pack_boxes_ap"]
+__all__ = ["pallas_sweep_pairs", "pack_boxes_ap", "decode_pairs_ap"]
 
 _SUB, _LANE = 8, 128
 _TILE = _SUB * _LANE          # boxes per grid step
@@ -339,7 +344,18 @@ def _sweep_kernel(
             @pl.when(total > 0)
             def _():
                 # extract per partner: all pop-loop vector work then runs on
-                # single (8, 128) planes instead of the (UB, 8, 128) batch
+                # single (8, 128) planes instead of the (UB, 8, 128) batch.
+                #
+                # Pops emit RAW (a_slot, partner_eid): the a-side value is
+                # the scalar the position reduce already produced (the
+                # packed-order slot t*_TILE + pos), and the partner's
+                # element id is one SMEM scalar read — so no per-pop value
+                # reductions at all; element-id resolution and the emit
+                # convention move to one XLA gather per narrow batch
+                # (decode_pairs_ap).  Each round extracts up to TWO
+                # survivors via independent min- and max-position reduces
+                # (their latencies overlap, unlike sequential pops).
+                base = t * _TILE
                 for u in range(UB):
                     keep_u = keep[u]
                     tot_u = jnp.sum(keep_u, dtype=jnp.int32)
@@ -347,44 +363,56 @@ def _sweep_kernel(
                     @pl.when(tot_u > 0)
                     def _(u=u, keep_u=keep_u, tot_u=tot_u):
                         b_eid_u = w_i[_EID, (sl + u) // _LANE, (sl + u) % _LANE]
-                        lo = jnp.minimum(a_eid, b_eid_u)
-                        hi = jnp.maximum(a_eid, b_eid_u)
-                        first = (-lo - 1) if is_two_lists else lo
-                        second = hi
-                        score0 = jnp.where(keep_u, _TILE - flatpos, 0)
 
                         def pop_cond(pc):
                             return pc[0] > 0
 
                         def pop_body(pc):
-                            remaining, score, cc = pc
-                            pos = _TILE - jnp.max(score)
-                            sel = flatpos == pos
-                            fval = jnp.sum(
-                                jnp.where(sel, first, 0), dtype=jnp.int32
-                            )
-                            sval = jnp.sum(
-                                jnp.where(sel, second, 0), dtype=jnp.int32
-                            )
-                            # append into the 1024-pair stage (one-hot write;
-                            # scalar stores to VMEM are unsupported)
+                            remaining, keep_i, cc = pc
+                            # i1 vectors cannot ride while-carries (Mosaic);
+                            # the mask travels as i32
+                            keepm = keep_i != 0
                             so = cc % _STAGE
-                            oh = (s_sub == so // _LANE) & (s_lane == so % _LANE)
-                            stage[0] = jnp.where(oh, fval, stage[0])
-                            stage[1] = jnp.where(oh, sval, stage[1])
-                            score = jnp.where(sel, 0, score)
-                            cc = cc + 1
+                            pos_lo = jnp.min(
+                                jnp.where(keepm, flatpos, jnp.int32(_TILE))
+                            )
+                            pos_hi = jnp.max(
+                                jnp.where(keepm, flatpos, jnp.int32(-1))
+                            )
+                            # take the max too unless it IS the min or the
+                            # second slot would cross the stage boundary
+                            # (the boundary case pops it next round instead)
+                            two = (pos_hi != pos_lo) & (so < _STAGE - 1)
+                            sel = (flatpos == pos_lo) | (
+                                two & (flatpos == pos_hi)
+                            )
+                            oh0 = (s_sub == so // _LANE) & (
+                                s_lane == so % _LANE
+                            )
+                            so1 = so + 1
+                            oh1 = two & (s_sub == so1 // _LANE) & (
+                                s_lane == so1 % _LANE
+                            )
+                            stage[0] = jnp.where(
+                                oh0, base + pos_lo,
+                                jnp.where(oh1, base + pos_hi, stage[0]),
+                            )
+                            stage[1] = jnp.where(oh0 | oh1, b_eid_u, stage[1])
+                            keep_i = jnp.where(sel, 0, keep_i)
+                            popped = 1 + two.astype(jnp.int32)
+                            cc = cc + popped
 
                             # stage full: burst it to the HBM pair buffer
                             @pl.when(cc % _STAGE == 0)
                             def _():
                                 flush(jnp.int32(_STAGE))
 
-                            return remaining - 1, score, cc
+                            return remaining - popped, keep_i, cc
 
                         cc0 = state[1]
                         _, _, cc1 = jax.lax.while_loop(
-                            pop_cond, pop_body, (tot_u, score0, cc0)
+                            pop_cond, pop_body,
+                            (tot_u, keep_u.astype(jnp.int32), cc0),
                         )
                         state[1] = cc1
 
@@ -409,13 +437,36 @@ def _sweep_kernel(
     ovf_out[0, 0] = state[2]
 
 
+@functools.partial(jax.jit, static_argnames=("is_two_lists",))
+def decode_pairs_ap(packed, pairs_raw, is_two_lists: bool):
+    """Raw kernel pairs ``(a_slot, partner_eid)`` -> element-id pairs.
+
+    The kernel emits the a-side as its packed-order slot (a scalar the
+    position reduce produces for free) and the partner as its element id
+    (one SMEM scalar read); this resolves the a-side element id with ONE
+    row gather and applies the reference emit convention
+    (``sweep.cu:152-164``): one-list pairs (min, max), two-list pairs
+    (flip(min), max).  Rows at/past the pair count decode to garbage and
+    must stay masked by the caller.  Called per narrow batch in the fused
+    pipeline so the gather cost tracks candidates actually consumed.
+    """
+    bf, bi, wf, wi = packed
+    a_flat = bi[_EID].reshape(-1)
+    a_eid = a_flat[jnp.clip(pairs_raw[:, 0], 0, a_flat.shape[0] - 1)]
+    b_eid = pairs_raw[:, 1]
+    lo = jnp.minimum(a_eid, b_eid)
+    hi = jnp.maximum(a_eid, b_eid)
+    first = (-lo - 1) if is_two_lists else lo
+    return jnp.stack([first, hi], axis=1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("is_two_lists", "budget", "interpret", "n_tiles"),
+    static_argnames=("is_two_lists", "budget", "interpret", "n_tiles", "raw"),
 )
 def pallas_sweep_pairs(
     packed, n, is_two_lists: bool, budget: int, interpret: bool = False,
-    tile0=None, n_tiles: int = 0,
+    tile0=None, n_tiles: int = 0, raw: bool = False,
 ):
     """Run the all-pairs sweep kernel over packed box planes.
 
@@ -424,6 +475,12 @@ def pallas_sweep_pairs(
     surviving element-id pairs in rows ``[0, n_pairs)`` (order is
     deterministic but not sorted), ``overflow`` True when the budget was
     exceeded (missing pairs — caller must retry or fall back).
+
+    With ``raw=True`` the buffer instead holds the kernel's raw
+    ``(a_slot, partner_eid)`` rows — pass them (or any row subset) through
+    :func:`decode_pairs_ap`; the fused pipeline does this per narrow batch
+    so the decode gather is paid once per candidate consumed, not once per
+    budget row.
 
     ``tile0``/``n_tiles`` restrict the a-side to subtiles
     ``[tile0, tile0 + n_tiles)`` — the range shard of a multi-chip sweep
@@ -484,4 +541,7 @@ def pallas_sweep_pairs(
     )
 
     flat = pairs.reshape(2, PBR * _LANE)
-    return jnp.transpose(flat), n_pairs[0, 0], ovf[0, 0] != 0
+    out = jnp.transpose(flat)
+    if not raw:
+        out = decode_pairs_ap(packed, out, is_two_lists)
+    return out, n_pairs[0, 0], ovf[0, 0] != 0

@@ -62,12 +62,13 @@ def make_sharded_ccd(
     allow_zero_toi: bool = True,
     dtype=jnp.float32,
     stack_capacity: int = 96,
-    narrow_batch: int = 2048,
+    narrow_batch: int = 1 << 14,
     sweep_batch: int = 1 << 17,
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,
     sweep_impl: str = "auto",
     solver: str = "auto",
+    ipc_refine: bool = False,
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.
 
@@ -109,6 +110,7 @@ def make_sharded_ccd(
             shift_cap=shift_cap,
             sweep_impl=sweep_impl,
             solver=solver,
+            ipc_refine=ipc_refine,
             axis_name=AXIS,
         )
 

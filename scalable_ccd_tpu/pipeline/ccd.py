@@ -342,6 +342,8 @@ def ipc_ccd_strategy(
     config: CCDConfig = DEFAULT_CONFIG,
     stats: Optional[CCDStats] = None,
     validate: bool = True,
+    impl: str = "chunked",
+    **fused_kwargs,
 ):
     """The IPC [Li et al. 2020] stepping rule on top of the same pipeline.
 
@@ -354,8 +356,41 @@ def ipc_ccd_strategy(
     interleaved with the broad phase exactly like the reference
     (``ipc_ccd_strategy.cu:73-92``), not a whole-scene re-run.
     ``stats.ipc_refinements`` counts triggered refinements.
+
+    ``impl`` selects the pipeline: ``"chunked"`` (host-driven, refinement
+    per broad chunk — the reference's granularity) or ``"fused"`` (the
+    single-dispatch pipeline with the same rule applied per narrow batch
+    inside the jitted program; returns the TOI as a float and flags via
+    ``stats.overflow_queries``).  Extra keyword arguments go to
+    :func:`scalable_ccd_tpu.pipeline.fused.fused_ccd` in fused mode
+    (budgets etc.).
     """
     stats = stats if stats is not None else CCDStats()
+    if impl == "fused":
+        from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+        res = fused_ccd(
+            vertices_t0, vertices_t1, edges, faces,
+            validate=validate,
+            min_distance=jnp.asarray(min_distance, config.jnp_dtype),
+            tolerance=jnp.asarray(tolerance, config.jnp_dtype),
+            max_iterations=max_iterations,
+            allow_zero_toi=True,
+            dtype=config.jnp_dtype,
+            ipc_refine=True,
+            **fused_kwargs,
+        )
+        if bool(res.overflowed):
+            # fall back to the chunked pipeline, budget-free by design
+            logger().warning(
+                "fused IPC overflowed its budgets; falling back to chunked"
+            )
+        else:
+            stats.narrow_checks += int(res.total_checks)
+            stats.overflow_queries += int(res.solver_capped)
+            return float(res.toi)
+    elif impl != "chunked":
+        raise ValueError(f"unknown impl {impl!r}")
     return ccd(
         vertices_t0, vertices_t1, edges, faces,
         min_distance=min_distance, max_iterations=max_iterations,

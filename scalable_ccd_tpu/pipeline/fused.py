@@ -67,6 +67,7 @@ from scalable_ccd_tpu.narrow_phase import (
 from scalable_ccd_tpu.ops import compact_rows
 from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
 from scalable_ccd_tpu.ops.pallas_sweep_ap import (
+    decode_pairs_ap,
     pack_boxes_ap,
     pallas_sweep_pairs,
 )
@@ -392,6 +393,7 @@ def _phase(
     solver: str = "bfs",
     sweep_impl: str = "xla",
     collect: bool = False,
+    ipc_refine: bool = False,
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
 
@@ -401,6 +403,14 @@ def _phase(
     and each batch's exact TOIs are written back over the dense pair buffer
     with one contiguous update; hits (toi < 1) are sort-compacted at the end
     — the functional ``thrust::copy_if`` (``narrow_phase.cu:197-202``).
+
+    With ``ipc_refine``, the IPC stepping rule (``ipc_ccd_strategy.cu:
+    73-92``) applies at narrow-batch granularity: whenever a batch drops
+    the running TOI below 1e-6, the pre-batch TOI is restored, the batch
+    is re-solved exactly (unbounded iterations, ms=0, zero TOI
+    disallowed), and the running TOI is scaled by 0.8 — all inside the
+    single dispatch (a ``lax.cond``, so the exact re-solve costs nothing
+    when not triggered).
     """
     n = sorted_boxes.n
     if sweep_impl not in ("xla", "pallas_ap"):
@@ -411,13 +421,14 @@ def _phase(
         )
     if solver not in ("pallas", "bfs", "dfs"):
         raise ValueError(f"unknown solver {solver!r}")
+    decode = None
     if sweep_impl == "pallas_ap":
         if axis_name is None:
             # all-pairs subtile sweep kernel: no run lengths, no shift cap
             packed, n_real = pack_boxes_ap(sorted_boxes)
             pairs, n_pairs, overflow = pallas_sweep_pairs(
                 packed, n_real, is_vf, budget=pair_budget,
-                interpret=_pallas_interpret(),
+                interpret=_pallas_interpret(), raw=True,
             )
         else:
             # range-sharded hardware sweep: shard s sweeps the a-side
@@ -439,8 +450,12 @@ def _phase(
             pairs, n_pairs, overflow = pallas_sweep_pairs(
                 packed, n_real, is_vf, budget=pair_budget,
                 interpret=_pallas_interpret(),
-                tile0=me * tiles_per, n_tiles=tiles_per,
+                tile0=me * tiles_per, n_tiles=tiles_per, raw=True,
             )
+        # raw (a_slot, partner_eid) rows: element ids resolve per narrow
+        # batch — one small gather per batch instead of one budget-sized
+        # gather up front (decode_pairs_ap docstring)
+        decode = functools.partial(decode_pairs_ap, packed, is_two_lists=is_vf)
         # slack rows so the narrow loop's dynamic slices never clamp
         pairs = jnp.concatenate(
             [pairs, jnp.full((batch, 2), jnp.int32(-(2**31) + 1))]
@@ -455,23 +470,29 @@ def _phase(
 
     lane = jnp.arange(batch, dtype=jnp.int32)
 
-    def run_solver(chunk, keep, toi):
+    def run_solver(chunk, keep, toi, ms_kw=None, max_iter=None, zero_ok=None):
         """Solve one dense candidate batch; returns
         ``(toi, checks, capped, per_query_toi_or_None)`` where ``capped``
         is the scalar conservative-accept flag (solver stack/queue/
         round-cap accepts — TOI valid but possibly early) and the per-query
-        TOIs are returned only in ``collect`` mode."""
+        TOIs are returned only in ``collect`` mode.  The keyword overrides
+        exist for the IPC exact re-solve (ms=0, unbounded, no zero TOI)."""
+        ms_ = ms if ms_kw is None else ms_kw
+        max_iter = max_iterations if max_iter is None else max_iter
+        zero_ok = allow_zero_toi if zero_ok is None else zero_ok
+        if decode is not None:
+            chunk = decode(chunk)
         if is_vf:
             q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype)
         else:
             q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype)
         if solver == "pallas":
             out = pallas_find_roots(
-                q, keep, is_vf, toi, ms, tolerance,
-                allow_zero_toi=allow_zero_toi,
+                q, keep, is_vf, toi, ms_, tolerance,
+                allow_zero_toi=zero_ok,
                 interpret=_pallas_interpret(),
                 toi_per_query=collect,
-                max_iterations=max_iterations,
+                max_iterations=max_iter,
             )
             toi_k, capped_k, checks_k = out[:3]
             pq = out[3] if collect else None
@@ -479,17 +500,17 @@ def _phase(
         if solver == "bfs":
             res = find_roots_bfs(
                 q, keep, is_vf,
-                toi_init=toi, ms=ms, tolerance=tolerance,
-                max_iterations=max_iterations,
-                allow_zero_toi=allow_zero_toi,
+                toi_init=toi, ms=ms_, tolerance=tolerance,
+                max_iterations=max_iter,
+                allow_zero_toi=zero_ok,
                 toi_per_query=collect,
             )
         else:
             res = find_roots(
                 q, keep, is_vf,
-                toi_init=toi, ms=ms, tolerance=tolerance,
-                max_iterations=max_iterations,
-                allow_zero_toi=allow_zero_toi,
+                toi_init=toi, ms=ms_, tolerance=tolerance,
+                max_iterations=max_iter,
+                allow_zero_toi=zero_ok,
                 stack_capacity=stack_capacity,
                 toi_per_query=collect,
             )
@@ -498,6 +519,29 @@ def _phase(
             jnp.any(res.overflow),
             res.per_query_toi if collect else None,
         )
+
+    def ipc_step(chunk, keep, toi, toi_after, ck, capped_b):
+        """The per-batch IPC refinement (``ipc_ccd_strategy.cu:73-92``):
+        discard a too-early batch result, re-solve the batch exactly, and
+        back off by 0.8.  Returns updated (toi_after, checks, capped)."""
+        zero = jnp.asarray(0, dtype)
+
+        def refine(_):
+            toi_r, ck_r, capped_r, _ = run_solver(
+                chunk, keep, toi, ms_kw=zero, max_iter=-1, zero_ok=False
+            )
+            # the reference scales the RUNNING toi (min of the restored
+            # pre-batch value and the exact re-solve) by 0.8
+            return jnp.minimum(toi, toi_r) * jnp.asarray(0.8, dtype), \
+                ck_r, capped_r
+
+        def keep_fn(_):
+            return toi_after, jnp.int32(0), jnp.zeros((), bool)
+
+        toi_after, ck_r, capped_r = jax.lax.cond(
+            toi_after < 1e-6, refine, keep_fn, None
+        )
+        return toi_after, ck + ck_r, capped_b | capped_r
 
     if collect:
         P = pairs.shape[0]
@@ -528,6 +572,9 @@ def _phase(
         slot = jnp.arange(P, dtype=jnp.int32)
         hit = (pq < 1.0) & (slot < n_pairs)
         n_hits, h_pairs, h_toi = compact_rows(hit, pairs, pq)
+        if decode is not None:
+            # hits are few; decode the compacted buffer once
+            h_pairs = decode(h_pairs)
         return toi, n_pairs, overflow, checks, capped, h_pairs, h_toi, n_hits
 
     if axis_name is None:
@@ -543,8 +590,12 @@ def _phase(
             chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
             keep = (start + lane) < n_pairs
             toi_new, ck, capped_b, _ = run_solver(chunk, keep, toi)
-            return (step + 1, jnp.minimum(toi, toi_new), checks + ck,
-                    capped | capped_b)
+            toi_after = jnp.minimum(toi, toi_new)
+            if ipc_refine:
+                toi_after, ck, capped_b = ipc_step(
+                    chunk, keep, toi, toi_after, ck, capped_b
+                )
+            return step + 1, toi_after, checks + ck, capped | capped_b
 
         _, toi, checks, capped = jax.lax.while_loop(
             cond, body,
@@ -611,8 +662,16 @@ def _phase(
         keep = jax.lax.dynamic_slice_in_dim(mask_bal, start, batch, axis=0)
         toi_new, ck, capped_b, _ = run_solver(chunk, keep, toi)
         # mid-phase TOI exchange: every shard sees every hit immediately
-        toi = jax.lax.pmin(jnp.minimum(toi, toi_new), axis_name)
-        return step + 1, toi, checks + ck, capped | capped_b
+        toi_after = jax.lax.pmin(jnp.minimum(toi, toi_new), axis_name)
+        if ipc_refine:
+            # the refinement condition is collectively uniform (pmin'd
+            # TOI), so every shard takes the same branch; the exact
+            # re-solve covers each shard's own stripe and pmin's again
+            toi_r, ck, capped_b = ipc_step(
+                chunk, keep, toi, toi_after, ck, capped_b
+            )
+            toi_after = jax.lax.pmin(toi_r, axis_name)
+        return step + 1, toi_after, checks + ck, capped | capped_b
 
     _, toi, checks, capped = jax.lax.while_loop(
         cond, body,
@@ -640,7 +699,7 @@ def fused_ccd_core(
     allow_zero_toi: bool = True,
     dtype=jnp.float32,
     stack_capacity: int = 96,
-    narrow_batch: int = 2048,
+    narrow_batch: int = 1 << 14,
     sweep_batch: int = 1 << 17,
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,
@@ -650,6 +709,7 @@ def fused_ccd_core(
     axis_name: Optional[str] = None,
     solver: str = "bfs",
     collect: bool = False,
+    ipc_refine: bool = False,
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
 
@@ -694,6 +754,11 @@ def fused_ccd_core(
                 "per-pair collision collection is single-chip only; gather "
                 "hits per shard outside shard_map instead"
             )
+        if ipc_refine:
+            raise ValueError(
+                "ipc_refine has no per-pair output (the reference discards "
+                "collisions in ipc_ccd_strategy, ipc_ccd_strategy.cu:52-54)"
+            )
         (toi1, vf_total, vf_over, vf_ck, vf_cap,
          vf_hits, vf_htoi, vf_n) = _phase(
             vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
@@ -714,11 +779,11 @@ def fused_ccd_core(
         )
     toi1, vf_total, vf_over, vf_ck, vf_cap = _phase(
         vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
-        toi_in=toi0, **common,
+        toi_in=toi0, ipc_refine=ipc_refine, **common,
     )
     toi2, ee_total, ee_over, ee_ck, ee_cap = _phase(
         ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
-        toi_in=toi1, **common,
+        toi_in=toi1, ipc_refine=ipc_refine, **common,
     )
     return FusedCCDResult(
         toi=toi2, overflowed=vf_over | ee_over, vf_total=vf_total,
@@ -745,6 +810,7 @@ def fused_ccd_core(
         "sweep_impl",
         "solver",
         "collect",
+        "ipc_refine",
     ),
 )
 def _fused_ccd_jit(
@@ -760,7 +826,7 @@ def _fused_ccd_jit(
     allow_zero_toi: bool = True,
     dtype=jnp.float32,
     stack_capacity: int = 96,
-    narrow_batch: int = 2048,
+    narrow_batch: int = 1 << 14,
     sweep_batch: int = 1 << 17,
     sweep_window: int = 32,
     shift_cap: int = 1 << 13,
@@ -769,6 +835,7 @@ def _fused_ccd_jit(
     sweep_impl: str = "xla",
     solver: str = "bfs",
     collect: bool = False,
+    ipc_refine: bool = False,
 ) -> FusedCCDResult:
     return fused_ccd_core(
         vertices_t0,
@@ -793,6 +860,7 @@ def _fused_ccd_jit(
         axis_name=None,
         solver=solver,
         collect=collect,
+        ipc_refine=ipc_refine,
     )
 
 

@@ -213,6 +213,36 @@ def test_ipc_refinement_is_per_chunk():
     assert ccd(v0, v1, edges, faces, min_distance=0.05, config=cfg) < 1e-6
 
 
+def test_ipc_fused_matches_chunked():
+    """ipc_ccd_strategy(impl='fused') — the refinement rule inside the
+    single-dispatch pipeline — must agree with the chunked path when one
+    chunk/batch covers the scene (identical solve/refine flow), and both
+    must land on 0.8 x the exact contact time."""
+    from scalable_ccd_tpu.geometry.mesh import edges_from_faces
+
+    tri = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    # static unit triangle + a vertex starting inside the ms=0.05 band
+    # (z=0.01) and crossing the plane at t = 1/3
+    v0 = np.concatenate([tri, [[0.25, 0.25, 0.01]]])
+    v1 = v0.copy()
+    v1[3, 2] -= 0.03
+    faces = np.arange(3, dtype=np.int32)[None]
+    edges = edges_from_faces(faces)
+
+    cfg = CCDConfig(dtype="float32", solver="bfs")
+    stats = CCDStats()
+    toi_c = ipc_ccd_strategy(
+        v0, v1, edges, faces, min_distance=0.05, config=cfg, stats=stats,
+    )
+    assert stats.ipc_refinements == 1
+    toi_f = ipc_ccd_strategy(
+        v0, v1, edges, faces, min_distance=0.05, config=cfg, impl="fused",
+        solver="bfs", vf_budget=1 << 10, ee_budget=1 << 10,
+    )
+    assert toi_f == pytest.approx(toi_c, rel=1e-6)
+    assert toi_f == pytest.approx(0.8 * (1.0 / 3.0), rel=1e-3)
+
+
 def test_ccd_pca_invariance():
     """The opt-in PCA world rotation (nipals_pca analogue) must not change
     the earliest TOI — rigid rotations preserve distances and linear

@@ -36,7 +36,11 @@ from scalable_ccd_tpu.geometry.aabb import (
 from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere
 from scalable_ccd_tpu.narrow_phase import gather_vf_queries
 from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
-from scalable_ccd_tpu.ops.pallas_sweep_ap import pack_boxes_ap, pallas_sweep_pairs
+from scalable_ccd_tpu.ops.pallas_sweep_ap import (
+    decode_pairs_ap,
+    pack_boxes_ap,
+    pallas_sweep_pairs,
+)
 from scalable_ccd_tpu.pipeline.fused import fused_ccd
 
 
@@ -52,10 +56,45 @@ def tic(name, f, reps=3):
     print(f"{name}: {min(ts) * 1e3:.1f}ms (first call {compile_s:.0f}s)", flush=True)
 
 
+def sharded_probe(grid, subdiv, budget, narrow_batch):
+    """Mesh-of-1 run through the shard_map kernel code path on the chip."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from scalable_ccd_tpu.parallel.sharded import AXIS, make_sharded_ccd
+
+    scene = cloth_on_sphere(grid_n=grid, sphere_subdiv=subdiv, drop=0.25)
+    v0 = jnp.asarray(scene.vertices_t0, jnp.float32)
+    v1 = jnp.asarray(scene.vertices_t1, jnp.float32)
+    E = jnp.asarray(scene.edges, jnp.int32)
+    F = jnp.asarray(scene.faces, jnp.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), (AXIS,))
+    fn = make_sharded_ccd(
+        mesh, vf_budget_per_shard=budget, ee_budget_per_shard=budget,
+        narrow_batch=narrow_batch,
+    )
+    ms0 = jnp.float32(0.0)
+    tol = jnp.float32(1e-6)
+    tic("sharded mesh-of-1 full", lambda: fn(v0, v1, E, F, ms0, tol).toi)
+    r = fn(v0, v1, E, F, ms0, tol)
+    print(
+        f"sharded toi={float(jax.device_get(r.toi)):.6f} "
+        f"vf={int(jax.device_get(r.vf_total))} "
+        f"ee={int(jax.device_get(r.ee_total))}",
+        flush=True,
+    )
+
+
 def main():
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     subdiv = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    narrow_batch = (
+        int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 14
+    )
     budget = 1 << 22
+    if "--sharded" in sys.argv:
+        sharded_probe(grid, subdiv, budget, narrow_batch)
+        return
     print("devices:", jax.devices(), flush=True)
     scene = cloth_on_sphere(grid_n=grid, sphere_subdiv=subdiv, drop=0.25)
     v0 = jnp.asarray(scene.vertices_t0, jnp.float32)
@@ -76,7 +115,9 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("istwo",))
     def sweep(packed, n, istwo):
-        return pallas_sweep_pairs(packed, n, istwo, budget=budget)
+        # raw mode: time the kernel alone (decode rides the narrow batches
+        # in the pipeline; it is timed separately below)
+        return pallas_sweep_pairs(packed, n, istwo, budget=budget, raw=True)
 
     packed_vf, n_vf = pack_boxes_ap(vfs)
     packed_ee, n_ee = pack_boxes_ap(ees)
@@ -86,7 +127,13 @@ def main():
     pairs, n_pairs, _ = sweep(packed_vf, n_vf, True)
     npp = int(jax.device_get(n_pairs))
     Q = 1 << max((npp - 1).bit_length(), 10)
-    chunk = pairs[:Q]
+
+    @jax.jit
+    def decode(pairs):
+        return decode_pairs_ap(packed_vf, pairs[:Q], True)
+
+    tic(f"decode vf ({npp} pairs)", lambda: decode(pairs)[:1, 0])
+    chunk = decode(pairs)
     valid = jnp.arange(Q) < npp
     q = gather_vf_queries(v0, v1, F, chunk, dtype=jnp.float32)
     tic(
@@ -96,7 +143,10 @@ def main():
         )[0],
     )
 
-    kw = dict(vf_budget=budget, ee_budget=budget, validate=False)
+    kw = dict(
+        vf_budget=budget, ee_budget=budget, validate=False,
+        narrow_batch=narrow_batch,
+    )
     tic("fused full", lambda: fused_ccd(v0, v1, E, F, **kw).toi)
     r = fused_ccd(v0, v1, E, F, **kw)
     print(
