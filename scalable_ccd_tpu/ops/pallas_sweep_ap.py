@@ -52,13 +52,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_sweep_pairs", "pack_boxes_ap", "decode_pairs_ap"]
+__all__ = [
+    "pallas_sweep_pairs",
+    "pallas_sweep_records",
+    "pack_boxes_ap",
+    "decode_pairs_ap",
+    "records_pair_prefix",
+    "decode_records_range",
+]
 
 _SUB, _LANE = 8, 128
 _TILE = _SUB * _LANE          # boxes per grid step
 _WIN = _TILE                  # partner window size (boxes)
 _STAGE = _SUB * _LANE         # staging block: 1024 pairs, burst-DMA'd
 _SENTINEL = -(2**31) + 1
+
+#: bit-record emission: one record per (partner, subtile-row) with any
+#: survivor; 8 i32 words per record (w0..w3 = 128-bit lane mask, w4 =
+#: partner sorted index, w5 = absolute a-side 128-lane row, w6/w7 pad),
+#: 16 records per 128-lane buffer row, 128 records per (8, 128) stage
+_REC_WORDS = 8
+_REC_PER_ROW = _LANE // _REC_WORDS
+_REC_STAGE = _SUB * _REC_PER_ROW
 
 # f32 field plane order
 _MAJ_MIN, _MAJ_MAX, _MIN0, _MIN1, _MAX0, _MAX1 = range(6)
@@ -167,20 +182,25 @@ def _sweep_kernel(
     bi_hbm,       # (5, R, 128) i32 in HBM: a-side ids + positions
     wf_hbm,       # (6, R, 128) f32 in HBM: partner side (sorted order)
     wi_hbm,       # (5, R, 128) i32 in HBM: partner side
-    pairs_out,    # (2, PB) i32 in HBM: compacted pair planes
-    np_out,       # (1, 1) i32 SMEM: total surviving pairs (clamped)
-    ovf_out,      # (1, 1) i32 SMEM: budget overflow flag
-    a_f, a_i,     # VMEM (6, 8, 128) f32 / (5, 8, 128) i32: subtile
-    w_f, w_i,     # SMEM (6, 8, 128) f32 / (5, 8, 128) i32: partner window
-                  # (scalar reads need SMEM; VMEM lane indexing must be
-                  # 128-aligned)
-    stage,        # VMEM (2, 8, 128) i32: 1024-pair staging block
-    state,        # SMEM (4,) i32: [flushed wp, collected count, overflow, -]
-    sems,         # DMA semaphores (4,)
-    *,
+    *refs,        # outputs then scratch — layout depends on ``emit``:
+                  #   pairs:   pairs_out (2, PB, 128) HBM; np_out, ovf_out
+                  #            (1,1) SMEM; scratch a_f a_i w_f w_i,
+                  #            stage (2,8,128), state (4,), sems (4,)
+                  #   records: recs_out (RR, 128) HBM; np_out, nrec_out,
+                  #            ovf_out (1,1) SMEM; scratch a_f a_i w_f w_i,
+                  #            stage (8,128), state (4,), sems (4,)
     is_two_lists: bool,
     budget: int,
+    count_only: bool = False,
+    emit: str = "pairs",
+    rec_cap: int = 0,
 ):
+    if emit == "records":
+        (recs_out, np_out, nrec_out, ovf_out,
+         a_f, a_i, w_f, w_i, stage, state, sems) = refs
+    else:
+        (pairs_out, np_out, ovf_out,
+         a_f, a_i, w_f, w_i, stage, state, sems) = refs
     t = tile0_ref[0, 0] + pl.program_id(0)
     n = n_ref[0, 0]
     # static clamp for the stream start: an all-padding subtile (a shard's
@@ -221,6 +241,8 @@ def _sweep_kernel(
     flatpos = sub_iota * _LANE + lane_iota  # a-box index within subtile
     s_sub = sub_iota
     s_lane = lane_iota
+    if emit == "records":
+        _shl = jnp.int32(1) << (s_lane % 32)  # lane -> its mask-word bit
 
     a_min0, a_min1 = a_f[_MIN0], a_f[_MIN1]
     a_max0, a_max1 = a_f[_MAX0], a_f[_MAX1]
@@ -341,6 +363,121 @@ def _sweep_kernel(
 
             total = jnp.sum(keep, dtype=jnp.int32)
 
+            if count_only:
+                # ablation / exact-count pass: consume the filter result
+                # without extraction (state[1] returns the true pair count)
+                state[1] = state[1] + total
+                return
+
+            if emit == "records":
+                # Bit-record emission (PERF.md round-3): per (partner,
+                # subtile-row) with survivors, pack the row's 128 keep bits
+                # into 4 words via 5 static roll-adds and place the record
+                # into the stage with a 16-way static-slot branch — no
+                # per-survivor pops at all; the XLA side bit-ranks records
+                # per narrow batch (decode_records_range).
+                @pl.when(total > 0)
+                def _():
+                    for u in range(UB):
+                        keep_u = keep[u]
+                        tot_u = jnp.sum(keep_u, dtype=jnp.int32)
+
+                        @pl.when(tot_u > 0)
+                        def _(u=u, keep_u=keep_u, tot_u=tot_u):
+                            cc0 = state[1]
+                            rc0 = state[0]
+                            fits = (cc0 + tot_u <= jnp.int32(budget)) & (
+                                rc0 + _SUB <= jnp.int32(rec_cap)
+                            )
+                            state[2] = jnp.where(fits, state[2], 1)
+
+                            @pl.when(fits)
+                            def _(u=u, keep_u=keep_u, tot_u=tot_u, cc0=cc0):
+                                state[1] = cc0 + tot_u
+                                j_abs = j + u
+                                # one reduce: bit r set iff row r has any
+                                # survivor (rows contribute 1<<r at most once)
+                                rowmax = jnp.max(
+                                    jnp.where(
+                                        keep_u, jnp.int32(1) << s_sub, 0
+                                    ),
+                                    axis=1, keepdims=True,
+                                )  # (8, 1): 1<<r or 0
+                                rowbits = jnp.sum(rowmax, dtype=jnp.int32)
+                                for r in range(_SUB):
+                                    @pl.when((rowbits >> r) % 2 == 1)
+                                    def _(r=r):
+                                        v = jnp.where(
+                                            keep_u & (s_sub == r), _shl, 0
+                                        )
+                                        # replicate row r across sublanes so
+                                        # the stage write (which selects the
+                                        # RECORD's stage row, not r) sees the
+                                        # mask content at every sublane (sum,
+                                        # not max: lane-31 bits are negative)
+                                        v = jnp.broadcast_to(
+                                            jnp.sum(v, axis=0, keepdims=True),
+                                            (_SUB, _LANE),
+                                        )
+                                        for st_ in (1, 2, 4, 8, 16):
+                                            v = v + pltpu.roll(
+                                                v, _LANE - st_, axis=1
+                                            )
+                                        # 32-lane group sums at lanes
+                                        # 0/32/64/96 = the 4 mask words
+                                        rc = state[0]
+                                        srow = (rc % _REC_STAGE) // _REC_PER_ROW
+                                        slot = rc % _REC_PER_ROW
+                                        absrow = t * _SUB + r
+                                        for s_val in range(_REC_PER_ROW):
+                                            @pl.when(slot == s_val)
+                                            def _(s_val=s_val, v=v,
+                                                  srow=srow, absrow=absrow):
+                                                bl = _REC_WORDS * s_val
+                                                upd = jnp.zeros(
+                                                    (_SUB, _LANE), jnp.int32
+                                                )
+                                                for g in range(4):
+                                                    sh = (bl + g - 32 * g) % _LANE
+                                                    upd = jnp.where(
+                                                        s_lane == bl + g,
+                                                        pltpu.roll(v, sh, axis=1),
+                                                        upd,
+                                                    )
+                                                upd = jnp.where(
+                                                    s_lane == bl + 4, j_abs, upd
+                                                )
+                                                upd = jnp.where(
+                                                    s_lane == bl + 5, absrow, upd
+                                                )
+                                                m = (
+                                                    (s_sub == srow)
+                                                    & (s_lane >= bl)
+                                                    & (s_lane < bl + 6)
+                                                )
+                                                stage[:] = jnp.where(
+                                                    m, upd, stage[:]
+                                                )
+                                        rc = rc + 1
+                                        state[0] = rc
+
+                                        @pl.when(rc % _REC_STAGE == 0)
+                                        def _():
+                                            row8 = pl.multiple_of(
+                                                (rc // _REC_STAGE - 1) * _SUB,
+                                                _SUB,
+                                            )
+                                            dma = pltpu.make_async_copy(
+                                                stage,
+                                                recs_out.at[
+                                                    pl.ds(row8, _SUB), :
+                                                ],
+                                                sems.at[2],
+                                            )
+                                            dma.start()
+                                            dma.wait()
+                return
+
             @pl.when(total > 0)
             def _():
                 # extract per partner: all pop-loop vector work then runs on
@@ -424,6 +561,32 @@ def _sweep_kernel(
         cond, body, (j0, wbase0, jnp.int32(0), jnp.int32(1))
     )
 
+    if count_only:
+        np_out[0, 0] = state[1]
+        ovf_out[0, 0] = 0
+        return
+
+    if emit == "records":
+        # final flush: write the whole stage once more (rows past the
+        # record tail are stale and ignored by the masked decode)
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            rc = state[0]
+
+            @pl.when(rc % _REC_STAGE > 0)
+            def _():
+                row8 = pl.multiple_of((rc // _REC_STAGE) * _SUB, _SUB)
+                dma = pltpu.make_async_copy(
+                    stage, recs_out.at[pl.ds(row8, _SUB), :], sems.at[2]
+                )
+                dma.start()
+                dma.wait()
+
+        np_out[0, 0] = state[1]
+        nrec_out[0, 0] = state[0]
+        ovf_out[0, 0] = state[2]
+        return
+
     # final flush on the last subtile: the stage holds cc % _STAGE pairs
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -462,11 +625,14 @@ def decode_pairs_ap(packed, pairs_raw, is_two_lists: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_two_lists", "budget", "interpret", "n_tiles", "raw"),
+    static_argnames=(
+        "is_two_lists", "budget", "interpret", "n_tiles", "raw", "count_only",
+    ),
 )
 def pallas_sweep_pairs(
     packed, n, is_two_lists: bool, budget: int, interpret: bool = False,
     tile0=None, n_tiles: int = 0, raw: bool = False,
+    count_only: bool = False,
 ):
     """Run the all-pairs sweep kernel over packed box planes.
 
@@ -500,7 +666,8 @@ def pallas_sweep_pairs(
     PBR = -(-budget // _LANE) + _SUB  # rows incl. one stage of slack
 
     kernel = functools.partial(
-        _sweep_kernel, is_two_lists=is_two_lists, budget=budget
+        _sweep_kernel, is_two_lists=is_two_lists, budget=budget,
+        count_only=count_only,
     )
     pairs, n_pairs, ovf = pl.pallas_call(
         kernel,
@@ -542,6 +709,176 @@ def pallas_sweep_pairs(
 
     flat = pairs.reshape(2, PBR * _LANE)
     out = jnp.transpose(flat)
-    if not raw:
+    if not raw and not count_only:
         out = decode_pairs_ap(packed, out, is_two_lists)
     return out, n_pairs[0, 0], ovf[0, 0] != 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "is_two_lists", "pair_budget", "rec_budget", "interpret", "n_tiles",
+    ),
+)
+def pallas_sweep_records(
+    packed, n, is_two_lists: bool, pair_budget: int, rec_budget: int = 0,
+    interpret: bool = False, tile0=None, n_tiles: int = 0,
+):
+    """All-pairs sweep with **bit-record** emission.
+
+    Instead of popping survivors one by one (a ~300-500 ns/pop latency
+    chain, PERF.md), the kernel writes one 16-byte record per
+    (partner, 128-box a-row) with any survivor: 4 mask words (one bit
+    per a-lane, packed with 5 static roll-adds), the partner's sorted
+    index, and the absolute a-row.  Records cost ~O(1) vector work each
+    regardless of how many survivors they carry; the XLA side bit-ranks
+    them per narrow batch (:func:`decode_records_range`).
+
+    Returns ``(records, n_records, n_pairs, overflow)`` where ``records``
+    is ``(rec_cap, 8)`` int32 with valid rows ``[0, n_records)`` and
+    ``n_pairs`` the exact surviving-pair total; ``overflow`` means the
+    pair or record budget was exceeded (records/pairs missing — retry or
+    fall back).  ``rec_budget`` defaults to ``pair_budget`` (every record
+    holds at least one pair, so that never overflows first).
+    """
+    bf, bi, wf, wi = packed
+    n_static = bf.shape[1] * _LANE - 2 * _WIN
+    if n_tiles <= 0:
+        n_tiles = -(-n_static // _TILE)
+    if tile0 is None:
+        tile0 = jnp.int32(0)
+    if rec_budget <= 0:
+        rec_budget = pair_budget
+    # 8-row stages plus one stage of slack for the final whole-stage flush
+    rec_rows = (-(-rec_budget // _REC_STAGE) + 1) * _SUB
+    rec_cap = rec_budget
+
+    kernel = functools.partial(
+        _sweep_kernel, is_two_lists=is_two_lists, budget=pair_budget,
+        emit="records", rec_cap=rec_cap,
+    )
+    recs, n_pairs, n_recs, ovf = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rec_rows, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((5, _SUB, _LANE), jnp.int32),
+            pltpu.SMEM((6, _SUB, _LANE), jnp.float32),
+            pltpu.SMEM((5, _SUB, _LANE), jnp.int32),
+            pltpu.VMEM((_SUB, _LANE), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(n, jnp.int32).reshape(1, 1),
+        jnp.asarray(tile0, jnp.int32).reshape(1, 1),
+        bf, bi, wf, wi,
+    )
+    records = recs.reshape(-1, _REC_WORDS)  # (rec_rows * 16, 8)
+    return records, n_recs[0, 0], n_pairs[0, 0], ovf[0, 0] != 0
+
+
+def records_pair_prefix(records, n_records):
+    """Inclusive per-record pair-count prefix over a record buffer.
+
+    Garbage rows at/past ``n_records`` (never DMA'd) are masked to zero,
+    so the cumulative sum ends at the exact pair total and stays
+    monotone for the binary-search decode.
+    """
+    pc = (
+        jax.lax.population_count(records[:, 0])
+        + jax.lax.population_count(records[:, 1])
+        + jax.lax.population_count(records[:, 2])
+        + jax.lax.population_count(records[:, 3])
+    )
+    rows = jnp.arange(records.shape[0], dtype=jnp.int32)
+    return jnp.cumsum(jnp.where(rows < n_records, pc, 0), dtype=jnp.int32)
+
+
+def decode_records_range(
+    packed, records, cum, start, batch: int, n_pairs, r_lo, is_two_lists: bool
+):
+    """Decode pairs ``[start, start + batch)`` from bit-records.
+
+    ``cum`` is :func:`records_pair_prefix`'s output; ``r_lo`` a lower
+    bound on the first record containing pair ``start`` (monotone batch
+    cursor — pass 0 for the first batch and the returned cursor after).
+    The record window is resolved with the merge-based searchsorted over
+    ``batch + 1`` rows (consecutive pair indices touch at most ``batch``
+    records since every record holds >= 1 pair), then each pair bit-ranks
+    its record's 128-bit mask.  Returns ``(chunk, new_r_lo)`` with
+    ``chunk`` (batch, 2) element-id pairs in the reference emit
+    convention; rows at/past ``n_pairs`` are garbage (mask downstream).
+    """
+    from scalable_ccd_tpu.ops import searchsorted_sorted
+
+    bf, bi, wf, wi = packed
+    R = records.shape[0]
+    p = start + jnp.arange(batch, dtype=jnp.int32)
+    valid = p < n_pairs
+
+    r_lo_c = jnp.clip(r_lo, 0, jnp.maximum(R - batch - 1, 0))
+    cum_win = jax.lax.dynamic_slice_in_dim(cum, r_lo_c, batch + 1)
+    r = r_lo_c + searchsorted_sorted(cum_win, p, side="right").astype(jnp.int32)
+    r_c = jnp.minimum(r, R - 1)
+    rec = records[r_c]  # (batch, 8) row gather
+    excl = jnp.where(r_c > 0, cum[jnp.maximum(r_c - 1, 0)], 0)
+    k = p - excl  # k-th set bit of this record
+
+    w = rec[:, 0:4]
+    c0 = jax.lax.population_count(w[:, 0])
+    c01 = c0 + jax.lax.population_count(w[:, 1])
+    c012 = c01 + jax.lax.population_count(w[:, 2])
+    g = (
+        (k >= c0).astype(jnp.int32)
+        + (k >= c01).astype(jnp.int32)
+        + (k >= c012).astype(jnp.int32)
+    )
+    word = jnp.take_along_axis(w, g[:, None], axis=1)[:, 0]
+    kk = k - jnp.where(
+        g == 0, 0, jnp.where(g == 1, c0, jnp.where(g == 2, c01, c012))
+    )
+    # kk-th set bit of the 32-bit word (vectorized rank walk)
+    bitidx = jnp.zeros_like(kk)
+    cnt = jnp.zeros_like(kk)
+    uw = word
+    for b in range(32):
+        bit = (uw >> b) & 1
+        bitidx = jnp.where((bit == 1) & (cnt == kk), b, bitidx)
+        cnt = cnt + bit
+    lane = g * 32 + bitidx
+    a_slot = rec[:, 5] * _LANE + lane
+    j = rec[:, 4]
+
+    a_flat = bi[_EID].reshape(-1)
+    b_flat = wi[_EID].reshape(-1)
+    a_eid = a_flat[jnp.clip(a_slot, 0, a_flat.shape[0] - 1)]
+    b_eid = b_flat[jnp.clip(j, 0, b_flat.shape[0] - 1)]
+    lo = jnp.minimum(a_eid, b_eid)
+    hi = jnp.maximum(a_eid, b_eid)
+    first = (-lo - 1) if is_two_lists else lo
+    chunk = jnp.stack([first, hi], axis=1)
+    new_r_lo = jnp.max(jnp.where(valid, r_c, r_lo_c))
+    return chunk, new_r_lo

@@ -68,8 +68,11 @@ from scalable_ccd_tpu.ops import compact_rows
 from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
 from scalable_ccd_tpu.ops.pallas_sweep_ap import (
     decode_pairs_ap,
+    decode_records_range,
     pack_boxes_ap,
     pallas_sweep_pairs,
+    pallas_sweep_records,
+    records_pair_prefix,
 )
 
 
@@ -413,16 +416,39 @@ def _phase(
     when not triggered).
     """
     n = sorted_boxes.n
-    if sweep_impl not in ("xla", "pallas_ap"):
+    if sweep_impl not in ("xla", "pallas_ap", "pallas_rec"):
         raise ValueError(
-            f"unknown sweep_impl {sweep_impl!r}: expected 'xla' or "
-            "'pallas_ap' (the shifted-window kernel value 'pallas' was "
-            "removed; use 'pallas_ap')"
+            f"unknown sweep_impl {sweep_impl!r}: expected 'xla', "
+            "'pallas_ap', or 'pallas_rec' (the shifted-window kernel value "
+            "'pallas' was removed; use 'pallas_ap')"
         )
     if solver not in ("pallas", "bfs", "dfs"):
         raise ValueError(f"unknown solver {solver!r}")
     decode = None
-    if sweep_impl == "pallas_ap":
+    if sweep_impl == "pallas_rec":
+        # bit-record sweep kernel: survivors leave the kernel as
+        # (partner, 128-box-row) mask records (no per-survivor pops) and
+        # each narrow batch decodes its own pair range from them with a
+        # monotone record cursor (decode_records_range)
+        if axis_name is not None:
+            raise ValueError(
+                "sweep_impl='pallas_rec' is single-chip; the sharded path "
+                "re-stripes pair rows across shards, use 'pallas_ap'"
+            )
+        packed, n_real = pack_boxes_ap(sorted_boxes)
+        records, n_recs, n_pairs, overflow = pallas_sweep_records(
+            packed, n_real, is_vf, pair_budget=pair_budget,
+            interpret=_pallas_interpret(),
+        )
+        cum = records_pair_prefix(records, n_recs)
+        pairs = None
+
+        def fetch(start, r_lo):
+            return decode_records_range(
+                packed, records, cum, start, batch, n_pairs, r_lo, is_vf
+            )
+
+    elif sweep_impl == "pallas_ap":
         if axis_name is None:
             # all-pairs subtile sweep kernel: no run lengths, no shift cap
             packed, n_real = pack_boxes_ap(sorted_boxes)
@@ -467,6 +493,14 @@ def _phase(
             pair_budget, sweep_batch, sweep_window, shift_cap,
             max_sweep_steps, axis_name, slack=batch,
         )
+
+    if pairs is not None:
+        def fetch(start, r_lo):
+            """Batch rows [start, start+batch) + pass-through cursor."""
+            return (
+                jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0),
+                r_lo,
+            )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
 
@@ -544,8 +578,14 @@ def _phase(
         return toi_after, ck + ck_r, capped_b | capped_r
 
     if collect:
-        P = pairs.shape[0]
+        P = pairs.shape[0] if pairs is not None else pair_budget + batch
         pq0 = jnp.full((P,), jnp.inf, dtype)
+        # decoded element-id pairs, written batch by batch (the records
+        # path has no dense pair buffer of its own)
+        dec0 = (
+            jnp.full((P, 2), jnp.int32(-(2**31) + 1))
+            if pairs is None else None
+        )
 
         def cond(st):
             step = st[0]
@@ -554,24 +594,38 @@ def _phase(
             return step * batch < n_pairs
 
         def body(st):
-            step, toi, pq, checks, capped = st
+            if dec0 is not None:
+                step, toi, pq, checks, capped, r_lo, dec = st
+            else:
+                step, toi, pq, checks, capped, r_lo = st
             start = step * batch
-            chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
+            chunk, r_lo = fetch(start, r_lo)
             keep = (start + lane) < n_pairs
             toi_new, ck, capped_b, pq_b = run_solver(chunk, keep, toi)
             pq = jax.lax.dynamic_update_slice_in_dim(
                 pq, pq_b.astype(dtype), start, axis=0
             )
-            return (step + 1, jnp.minimum(toi, toi_new), pq, checks + ck,
-                    capped | capped_b)
+            out = (step + 1, jnp.minimum(toi, toi_new), pq, checks + ck,
+                   capped | capped_b, r_lo)
+            if dec0 is not None:
+                dec = jax.lax.dynamic_update_slice_in_dim(
+                    dec, chunk, start, axis=0
+                )
+                out = out + (dec,)
+            return out
 
-        _, toi, pq, checks, capped = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), toi_in, pq0, jnp.int32(0), jnp.zeros((), bool)),
-        )
+        carry0 = (jnp.int32(0), toi_in, pq0, jnp.int32(0),
+                  jnp.zeros((), bool), jnp.int32(0))
+        if dec0 is not None:
+            carry0 = carry0 + (dec0,)
+        st = jax.lax.while_loop(cond, body, carry0)
+        _, toi, pq, checks, capped, _ = st[:6]
+        dec = st[6] if dec0 is not None else None
         slot = jnp.arange(P, dtype=jnp.int32)
         hit = (pq < 1.0) & (slot < n_pairs)
-        n_hits, h_pairs, h_toi = compact_rows(hit, pairs, pq)
+        n_hits, h_pairs, h_toi = compact_rows(
+            hit, pairs if dec is None else dec, pq
+        )
         if decode is not None:
             # hits are few; decode the compacted buffer once
             h_pairs = decode(h_pairs)
@@ -579,15 +633,15 @@ def _phase(
 
     if axis_name is None:
         def cond(st):
-            step, toi, checks, capped = st
+            step, toi, checks, capped, r_lo = st
             # `toi > 0` early exit mirrors the reference chunk loop's
             # `remaining_queries && toi > 0` (narrow_phase.cu:136)
             return (step * batch < n_pairs) & (toi > 0)
 
         def body(st):
-            step, toi, checks, capped = st
+            step, toi, checks, capped, r_lo = st
             start = step * batch
-            chunk = jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0)
+            chunk, r_lo = fetch(start, r_lo)
             keep = (start + lane) < n_pairs
             toi_new, ck, capped_b, _ = run_solver(chunk, keep, toi)
             toi_after = jnp.minimum(toi, toi_new)
@@ -595,11 +649,12 @@ def _phase(
                 toi_after, ck, capped_b = ipc_step(
                     chunk, keep, toi, toi_after, ck, capped_b
                 )
-            return step + 1, toi_after, checks + ck, capped | capped_b
+            return step + 1, toi_after, checks + ck, capped | capped_b, r_lo
 
-        _, toi, checks, capped = jax.lax.while_loop(
+        _, toi, checks, capped, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), toi_in, jnp.int32(0), jnp.zeros((), bool)),
+            (jnp.int32(0), toi_in, jnp.int32(0), jnp.zeros((), bool),
+             jnp.int32(0)),
         )
         return toi, n_pairs, overflow, checks, capped
 
@@ -624,31 +679,33 @@ def _phase(
     all_pairs = jax.lax.all_gather(pairs[:pair_budget], axis_name)  # (S,B,2)
     all_counts = jax.lax.all_gather(n_pairs, axis_name)  # (S,)
 
-    stripes = []
-    masks = []
-    used = jnp.int32(0)
-    row_lane = jnp.arange(share, dtype=jnp.int32)
+    # Append every stripe's share-block at a running write pointer: the
+    # invalid tail of each block is overwritten by the next block (the
+    # same contiguous-append trick as _sweep_compact), so my candidates
+    # form a dense prefix of length sum(cnt_src) and the narrow loop's
+    # trip count is data-proportional — NOT budget-proportional (a
+    # budget-rounded bound cost a mesh-of-1 run 3.3x the single-chip
+    # time in empty masked batches).
+    sent = jnp.int32(-(2**31) + 1)
+    pad_rows = jnp.full((share + S, 2), sent)
+    pairs_bal = jnp.full((S * share + batch, 2), sent)
+    wp = jnp.int32(0)
     for src in range(S):
         c = all_counts[src]
         share_c = (c + S - 1) // S          # this source's stripe width
         start = me * share_c                 # my stripe within [0, c)
-        start_cl = jnp.minimum(start, jnp.maximum(jnp.int32(pair_budget) - share, 0))
-        stripe = jax.lax.dynamic_slice_in_dim(all_pairs[src], start_cl, share, axis=0)
-        abs_row = start_cl + row_lane
-        hi = jnp.minimum((me + 1) * share_c, c)
-        mask = (abs_row >= start) & (abs_row < hi)
-        cnt = jnp.clip(hi - start, 0, share_c)
-        stripes.append(stripe)
-        masks.append(mask)
-        used = jnp.maximum(
-            used, jnp.where(cnt > 0, jnp.int32((src + 1) * share), 0)
+        cnt = jnp.clip(c - start, 0, share_c)
+        # slack-padded source so the share-sized slice never clamps
+        # (start <= budget - share + S by construction)
+        src_rows = jnp.concatenate([all_pairs[src], pad_rows])
+        stripe = jax.lax.dynamic_slice_in_dim(src_rows, start, share, axis=0)
+        pairs_bal = jax.lax.dynamic_update_slice_in_dim(
+            pairs_bal, stripe, wp, axis=0
         )
-    pairs_bal = jnp.concatenate(
-        stripes + [jnp.full((batch, 2), jnp.int32(-(2**31) + 1))]
-    )
-    mask_bal = jnp.concatenate(masks + [jnp.zeros((batch,), bool)])
-    # uniform trip bound: the last stripe block any shard actually uses
-    used = jax.lax.pmax(used, axis_name)
+        wp = wp + cnt
+    mask_bal = jnp.arange(S * share + batch, dtype=jnp.int32) < wp
+    # uniform trip bound: the largest dense prefix on any shard
+    used = jax.lax.pmax(wp, axis_name)
 
     def cond(st):
         step, toi, checks, capped = st

@@ -123,6 +123,88 @@ def test_extent_classed_packing_matches(is_two_lists):
     assert _pairs_set(pairs_u, np_u) == _pairs_set(pairs, np_)
 
 
+@pytest.mark.parametrize("is_two_lists", [True, False])
+def test_records_kernel_matches_xla_sweep(is_two_lists):
+    """Bit-record emission: the (partner, a-row) mask records, decoded in
+    batches through the monotone-cursor decoder, must reproduce the exact
+    pair set of the XLA sweep."""
+    from scalable_ccd_tpu.ops.pallas_sweep_ap import (
+        decode_records_range,
+        pallas_sweep_records,
+        records_pair_prefix,
+    )
+
+    scene = cloth_on_sphere(grid_n=14, sphere_subdiv=1, drop=0.35)
+    vb, eb, fb = _boxes(scene)
+    sb = sort_boxes(merge_two_lists(vb, fb)) if is_two_lists else sort_boxes(eb)
+    ref = set(map(tuple, detect_overlaps(sb, is_two_lists=is_two_lists).tolist()))
+    packed, n = pack_boxes_ap(sb)
+    recs, n_recs, n_pairs, ovf = pallas_sweep_records(
+        packed, n, is_two_lists, pair_budget=1 << 15, interpret=True
+    )
+    assert not bool(ovf)
+    assert int(n_pairs) == len(ref)
+    assert 0 < int(n_recs) <= int(n_pairs)
+
+    cum = records_pair_prefix(recs, n_recs)
+    got = []
+    r_lo = jnp.int32(0)
+    B = 512
+    for start in range(0, int(n_pairs), B):
+        chunk, r_lo = decode_records_range(
+            packed, recs, cum, jnp.int32(start), B, n_pairs, r_lo,
+            is_two_lists,
+        )
+        m = min(B, int(n_pairs) - start)
+        got.extend(map(tuple, np.asarray(chunk[:m]).tolist()))
+    assert len(got) == len(ref)
+    assert set(got) == ref
+
+
+def test_records_budget_overflow_flags():
+    from scalable_ccd_tpu.ops.pallas_sweep_ap import pallas_sweep_records
+
+    scene = triangle_soup(80, motion=0.25, seed=4)
+    _, eb, _ = _boxes(scene)
+    sb = sort_boxes(eb)
+    ref = detect_overlaps(sb, is_two_lists=False)
+    assert len(ref) > 64
+    packed, n = pack_boxes_ap(sb)
+    _, _, _, ovf = pallas_sweep_records(
+        packed, n, False, pair_budget=64, interpret=True
+    )
+    assert bool(ovf)
+    _, _, np_, ovf = pallas_sweep_records(
+        packed, n, False, pair_budget=1 << 15, interpret=True
+    )
+    assert not bool(ovf)
+    assert int(np_) == len(ref)
+
+
+def test_fused_pipeline_records_sweep_matches_xla():
+    scene = cloth_on_sphere(grid_n=8, sphere_subdiv=0, drop=0.6)
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    args = (
+        jnp.asarray(scene.vertices_t0, jnp.float32),
+        jnp.asarray(scene.vertices_t1, jnp.float32),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+    kw = dict(vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32)
+    r_xla = fused_ccd(*args, sweep_impl="xla", **kw)
+    r_rec = fused_ccd(*args, sweep_impl="pallas_rec", **kw)
+    assert float(r_rec.toi) == pytest.approx(float(r_xla.toi), abs=1e-6)
+    assert int(r_rec.vf_total) == int(r_xla.vf_total)
+    assert int(r_rec.ee_total) == int(r_xla.ee_total)
+
+    # per-pair collisions through the records path (decoded-pairs buffer)
+    hits_xla, hits_rec = [], []
+    fused_ccd(*args, sweep_impl="xla", collisions=hits_xla, **kw)
+    fused_ccd(*args, sweep_impl="pallas_rec", collisions=hits_rec, **kw)
+    assert sorted(hits_rec) == sorted(hits_xla)
+
+
 def test_kernel_empty_scene():
     soup = triangle_soup(4, motion=0.0, seed=5)
     _, eb, _ = _boxes(soup)
