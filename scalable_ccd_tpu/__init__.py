@@ -31,11 +31,31 @@ def _enable_compilation_cache() -> None:
     if os.environ.get("SCCD_NO_COMPILE_CACHE"):
         return
     try:
+        import hashlib
+        import platform
+
         import jax
+
+        # The cache stores XLA:CPU executables AOT-compiled for THIS host's
+        # CPU features; loading one on a host with different features has
+        # segfaulted (the loader itself warns about SIGILL).  Keying the
+        # directory by a host fingerprint makes a moved checkout recompile
+        # instead of loading foreign binaries.
+        parts = [platform.machine()]
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        parts.append(line.strip())
+                        break
+        except OSError:
+            parts.append(platform.processor())
+        tag = hashlib.sha1(" ".join(parts).encode()).hexdigest()[:10]
 
         cache_dir = os.environ.get("SCCD_COMPILE_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache",
+            f"host-{tag}",
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -79,8 +79,11 @@ class SortedBoxes(NamedTuple):
 _MINOR_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "pad_to"))
-def sort_boxes(boxes: AABBs, axis=0, pad_to: Optional[int] = None) -> SortedBoxes:
+@functools.partial(jax.jit, static_argnames=("axis", "pad_to", "bucket_minor"))
+def sort_boxes(
+    boxes: AABBs, axis=0, pad_to: Optional[int] = None,
+    bucket_minor: bool = False,
+) -> SortedBoxes:
     """Sort boxes along ``axis`` and split into major/minor arrays.
 
     Replaces the reference's ``split_boxes`` kernel + ``thrust::sort_by_key``
@@ -90,7 +93,20 @@ def sort_boxes(boxes: AABBs, axis=0, pad_to: Optional[int] = None) -> SortedBoxe
     path's ``calc_sort_dimension`` is dead code that hard-codes x,
     ``aabb.cu:86``).  The final pair set is axis-independent (all three
     axes are tested either way); the choice only affects candidate-slot
-    counts and therefore sweep cost.  ``pad_to`` pads with sentinel boxes
+    counts and therefore sweep cost.
+
+    ``bucket_minor`` is the **congestion ordering** for the all-pairs sweep
+    kernel: the sort key becomes (quantized major_min, first minor lower
+    bound) with a bucket of 4x the mean major extent, so the thousands of
+    near-equal-major boxes of a congested scene (e.g. a fine cloth's
+    sorted columns) order coherently along the minor axis — which makes
+    the kernel's per-row minor-union skip effective.  The pair set is
+    unchanged (the kernel's termination uses an exact suffix-min plane,
+    and its filters use the true bounds), but this ordering is ONLY valid
+    for the kernel sweeps: the XLA sweep's ``count_major_runs`` /
+    ``searchsorted`` assume exactly-sorted ``major_min``.
+
+    ``pad_to`` pads with sentinel boxes
     whose major interval is inverted (min at +big, max at -big): they sort
     to the end, their run length is genuinely 0 (max < every min, so
     ``count_major_runs`` finds no partners), and they are unreachable as
@@ -129,7 +145,28 @@ def sort_boxes(boxes: AABBs, axis=0, pad_to: Optional[int] = None) -> SortedBoxe
         )
         element_id = jnp.concatenate([element_id, jnp.full((pad,), jnp.int32(0), jnp.int32)])
 
-    order = jnp.argsort(major_min)
+    if bucket_minor:
+        # the secondary key and the kernel's row unions both use minor
+        # axis 0 — swap the wider-spread minor into that slot, or a scene
+        # whose first minor is the degenerate direction (e.g. a cloth's
+        # drop axis, where every box overlaps) gets coherent-looking rows
+        # whose unions never separate and the row skip never fires.  The
+        # minor filters are symmetric in the two axes, so the swap cannot
+        # change the pair set.
+        mvar = jnp.var(minor_min + minor_max, axis=0)  # (2,) center spread
+        swap = mvar[1] > mvar[0]
+        minor_min = jnp.where(swap, minor_min[:, ::-1], minor_min)
+        minor_max = jnp.where(swap, minor_max[:, ::-1], minor_max)
+        extent = jnp.mean(jnp.maximum(major_max - major_min, 0.0))
+        q = jnp.where(extent > 0, 4.0 * extent, jnp.asarray(1.0, major_min.dtype))
+        bucket = jnp.floor(major_min / q)
+        n_rows = major_min.shape[0]
+        _, _, order = jax.lax.sort(
+            (bucket, minor_min[:, 0], jnp.arange(n_rows, dtype=jnp.int32)),
+            num_keys=2,
+        )
+    else:
+        order = jnp.argsort(major_min)
     return SortedBoxes(
         major_min=major_min[order],
         major_max=major_max[order],

@@ -9,6 +9,7 @@ from scalable_ccd_tpu.narrow_phase.root_finder import RootFinderResult, find_roo
 from scalable_ccd_tpu.narrow_phase.types import (
     CCDQueries,
     compute_tolerance,
+    concat_frames,
     domain_corners,
     gather_ee_queries,
     gather_vf_queries,
@@ -19,6 +20,7 @@ __all__ = [
     "CCDQueries",
     "RootFinderResult",
     "compute_tolerance",
+    "concat_frames",
     "domain_corners",
     "find_roots",
     "find_roots_bfs",

@@ -75,8 +75,18 @@ _REC_WORDS = 8
 _REC_PER_ROW = _LANE // _REC_WORDS
 _REC_STAGE = _SUB * _REC_PER_ROW
 
-# f32 field plane order
-_MAJ_MIN, _MAJ_MAX, _MIN0, _MIN1, _MAX0, _MAX1 = range(6)
+# f32 field plane order.  The last five exist on the partner side only
+# (zeros on a permuted a-side): _FWDMIN = suffix-min of major_min over the
+# stream order — the EXACT stream-termination bound for ANY box ordering
+# (equals major_min itself under the plain major sort); _ROWUMIN/_ROWUMAX =
+# per-128-box-row unions of the first minor axis, the row-skip test;
+# _WINUMIN/_WINUMAX = the same unions per aligned 1024-box window
+# (broadcast over the window's rows), the window-skip test — scalars so
+# the kernel can read them from SMEM (vector reduces from SMEM are
+# rejected by Mosaic on hardware).
+(_MAJ_MIN, _MAJ_MAX, _MIN0, _MIN1, _MAX0, _MAX1,
+ _FWDMIN, _ROWUMIN, _ROWUMAX, _WINUMIN, _WINUMAX) = range(11)
+_NF = 11  # f32 plane count
 # i32 field plane order (_POS = box position in sorted order, for the
 # j > i test and the stream start; the a-side may be extent-reordered)
 _V0, _V1, _V2, _EID, _POS = range(5)
@@ -160,15 +170,45 @@ def pack_boxes_ap(
         )  # (total, F)
         return jnp.transpose(padded.reshape(rows, _LANE, -1), (2, 0, 1))
 
-    bf = planes(f_cols, f_fill, order)
+    bf6 = planes(f_cols, f_fill, order)
     bi = planes(i_cols, i_fill, order)
     # the partner stream reads SORTED order; when the a-side was not
     # permuted the same planes serve both sides (no second copy)
-    if order is None:
-        wf, wi = bf, bi
-    else:
-        wf = planes(f_cols, f_fill, None)
-        wi = planes(i_cols, i_fill, None)
+    wf6 = bf6 if order is None else planes(f_cols, f_fill, None)
+    wi = bi if order is None else planes(i_cols, i_fill, None)
+
+    def extras(wf):
+        """Partner-side stream-termination + skip planes (11 total).
+
+        fwdmin[j] = min of major_min over positions >= j: monotone
+        non-decreasing for ANY ordering, so `fwdmin > a_reach` is an exact
+        stream stop (== major_min under the plain sort).  Row unions span
+        each 128-box row's first minor axis, window unions each aligned
+        1024-box window's; padding (inverted bounds) cannot widen either.
+        """
+        mm = wf[_MAJ_MIN].reshape(-1)
+        fwd = jnp.flip(jax.lax.cummin(jnp.flip(mm))).reshape(rows, _LANE)
+        rmin = jnp.min(wf[_MIN0], axis=1)  # (rows,)
+        rmax = jnp.max(wf[_MAX0], axis=1)
+        # windows are the kernel's aligned 8-row loads; rows need not be a
+        # multiple of 8, so pad the grouping with inverted bounds
+        wrows = -(-rows // _SUB)
+        pad_r = wrows * _SUB - rows
+        rmin_g = jnp.concatenate([rmin, jnp.full((pad_r,), big)])
+        rmax_g = jnp.concatenate([rmax, jnp.full((pad_r,), -big)])
+        wmin = jnp.min(rmin_g.reshape(wrows, _SUB), axis=1)  # (wrows,)
+        wmax = jnp.max(rmax_g.reshape(wrows, _SUB), axis=1)
+        brd = lambda x: jnp.broadcast_to(x[:, None], (rows, _LANE))  # noqa: E731
+        wbrd = lambda x: brd(jnp.repeat(x, _SUB)[:rows])  # noqa: E731
+        return jnp.concatenate(
+            [wf, fwd[None], brd(rmin)[None], brd(rmax)[None],
+             wbrd(wmin)[None], wbrd(wmax)[None]]
+        )
+
+    wf = extras(wf6)
+    bf = wf if order is None else jnp.concatenate(
+        [bf6, jnp.zeros((_NF - 6, rows, _LANE), jnp.float32)]
+    )
     return (bf, bi, wf, wi), n
 
 
@@ -178,9 +218,10 @@ def _sweep_kernel(
                   # range (nonzero when a shard sweeps a slice of the
                   # sorted array, cf. the reference's range shard
                   # ``_multigpu/broad_phase.cu:72``)
-    bf_hbm,       # (6, R, 128) f32 in HBM: a-side (extent-classed order)
+    bf_hbm,       # (_NF, R, 128) f32 in HBM: a-side (extent-classed order)
     bi_hbm,       # (5, R, 128) i32 in HBM: a-side ids + positions
-    wf_hbm,       # (6, R, 128) f32 in HBM: partner side (sorted order)
+    wf_hbm,       # (_NF, R, 128) f32 in HBM: partner side (stream order;
+                  # planes 6-10 = suffix-min termination + row/window minor unions)
     wi_hbm,       # (5, R, 128) i32 in HBM: partner side
     *refs,        # outputs then scratch — layout depends on ``emit``:
                   #   pairs:   pairs_out (2, PB, 128) HBM; np_out, ovf_out
@@ -188,16 +229,18 @@ def _sweep_kernel(
                   #            stage (2,8,128), state (4,), sems (4,)
                   #   records: recs_out (RR, 128) HBM; np_out, nrec_out,
                   #            ovf_out (1,1) SMEM; scratch a_f a_i w_f w_i,
-                  #            stage (8,128), state (4,), sems (4,)
+                  #            stage (8,128), astage (16,128), state (4,),
+                  #            sems (4,)
     is_two_lists: bool,
     budget: int,
     count_only: bool = False,
     emit: str = "pairs",
     rec_cap: int = 0,
+    any_order: bool = False,
 ):
     if emit == "records":
         (recs_out, np_out, nrec_out, ovf_out,
-         a_f, a_i, w_f, w_i, stage, state, sems) = refs
+         a_f, a_i, w_f, w_i, stage, astage, state, sems) = refs
     else:
         (pairs_out, np_out, ovf_out,
          a_f, a_i, w_f, w_i, stage, state, sems) = refs
@@ -230,6 +273,7 @@ def _sweep_kernel(
     ai_dma.wait()
 
     a_mmax = a_f[_MAJ_MAX]
+    a_mmin = a_f[_MAJ_MIN] if any_order else None
     # padding rows carry -big, so the max is over real subtile boxes
     a_reach = jnp.max(a_mmax)
     a_pos = a_i[_POS]  # sorted-order positions (+big on padding)
@@ -248,6 +292,10 @@ def _sweep_kernel(
     a_max0, a_max1 = a_f[_MAX0], a_f[_MAX1]
     a_v0, a_v1, a_v2 = a_i[_V0], a_i[_V1], a_i[_V2]
     a_eid = a_i[_EID]
+    # subtile union of the first minor axis (padding carries inverted
+    # bounds, so the reduction sees real boxes only) — the row-skip bound
+    a_umin0 = jnp.min(a_min0)
+    a_umax0 = jnp.max(a_max0)
 
     def load_window(base_row):
         wf = pltpu.make_async_copy(
@@ -260,6 +308,19 @@ def _sweep_kernel(
         wi.start()
         wf.wait()
         wi.wait()
+        if any_order:
+            # window-level minor-union skip flag (state[3]): when the whole
+            # 1024-partner window's first-minor union misses the subtile's,
+            # the stream jumps a full window per iteration instead of a row.
+            # The unions are precomputed planes (broadcast per window) so
+            # this is two scalar SMEM reads — Mosaic rejects vector reduces
+            # from SMEM on hardware.  row_dead subsumes the per-row gating;
+            # this flag only widens the jump.
+            wmin = w_f[_WINUMIN, 0, 0]
+            wmax = w_f[_WINUMAX, 0, 0]
+            state[3] = jnp.where(
+                (wmin > a_umax0) | (wmax < a_umin0), jnp.int32(1), jnp.int32(0)
+            )
 
     def flush(count):
         """DMA the 1024-pair stage to the HBM buffer at the write pointer.
@@ -328,14 +389,30 @@ def _sweep_kernel(
                 out = jnp.where(iota_u == u, v, out)
             return out
 
-        b_mmin = field_f(_MAJ_MIN)
-
-        # stop once no subtile box can reach the batch's first partner
-        b_first = w_f[_MAJ_MIN, sl // _LANE, sl % _LANE]
+        # stop once no subtile box can reach any remaining partner: the
+        # suffix-min plane makes this exact for any stream ordering
+        # (under the plain major sort it IS major_min)
+        b_first = w_f[_FWDMIN, sl // _LANE, sl % _LANE]
         go = jnp.where(b_first > a_reach, 0, go)
 
-        @pl.when(go != 0)
+        # row skip: a 128-partner row whose first-minor union cannot touch
+        # the subtile's union holds no surviving pair (the minor filter
+        # would kill every slot) — jump the stream to the next row.  This
+        # prunes nothing under the plain major sort on congested scenes
+        # (rows span the whole minor extent; gated off to keep the default
+        # path free of the two scalar reads) but becomes the main work
+        # saver under sort_boxes(bucket_minor=True).
+        row = sl // _LANE
+        if any_order:
+            r_min0 = w_f[_ROWUMIN, row, 0]
+            r_max0 = w_f[_ROWUMAX, row, 0]
+            row_dead = (r_min0 > a_umax0) | (r_max0 < a_umin0)
+        else:
+            row_dead = go != go  # constant False, same trace type
+
+        @pl.when((go != 0) & ~row_dead)
         def _():
+            b_mmin = field_f(_MAJ_MIN)
             b_min0 = field_f(_MIN0)
             b_min1 = field_f(_MIN1)
             b_max0 = field_f(_MAX0)
@@ -347,6 +424,13 @@ def _sweep_kernel(
 
             a3 = lambda x: x[None]  # (8, 128) -> (1, 8, 128)  # noqa: E731
             keep = b_mmin <= a3(a_mmax)  # (UB, 8, 128) via broadcast
+            if any_order:
+                # under the plain major sort, position j > i implies
+                # a.major_min <= b.major_max, so this direction is free;
+                # under bucket_minor (or any other) ordering it must be
+                # tested explicitly or phantom pairs leak through
+                b_mmax = field_f(_MAJ_MAX)
+                keep &= a3(a_mmin) <= b_mmax
             keep &= (a3(a_min0) <= b_max0) & (b_min0 <= a3(a_max0))
             keep &= (a3(a_min1) <= b_max1) & (b_min1 <= a3(a_max1))
             if is_two_lists:
@@ -368,16 +452,58 @@ def _sweep_kernel(
                 # without extraction (state[1] returns the true pair count)
                 state[1] = state[1] + total
                 return
+            # NOTE: a single-reduce live-partner bitmask (max over
+            # axes (1,2) of keep * (1 << u)) was tried here to replace the
+            # eight per-partner sums; the (UB, 1, 1) multi-axis reduction
+            # fails Mosaic's layout check on hardware ("arr.size() >=
+            # layout_rank") — keep the per-partner 2-D sums.
 
             if emit == "records":
                 # Bit-record emission (PERF.md round-3): per (partner,
                 # subtile-row) with survivors, pack the row's 128 keep bits
-                # into 4 words via 5 static roll-adds and place the record
-                # into the stage with a 16-way static-slot branch — no
-                # per-survivor pops at all; the XLA side bit-ranks records
-                # per narrow batch (decode_records_range).
+                # into 4 words via 5 static roll-adds and write the 6-word
+                # record to a FIXED lane block (lanes 0:6) of the staging
+                # row ``rc % 16`` — a branch-free broadcast-compare select,
+                # where the original design's dynamic-slot placement needed
+                # a 16-way static-shift branch per record.  Every 16
+                # records the staging group folds into one dense 128-lane
+                # stage row with 16 STATIC rolls; no per-survivor pops at
+                # all.  The XLA side bit-ranks records per narrow batch
+                # (decode_records_range); the dense layout is unchanged.
+                sA_sub = jax.lax.broadcasted_iota(
+                    jnp.int32, (_REC_PER_ROW, _LANE), 0
+                )
+                sA_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (_REC_PER_ROW, _LANE), 1
+                )
+                s1_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+                def fold_group(rc, rem):
+                    """Fold staging records ``rc - rem .. rc - 1`` into the
+                    dense stage row they belong to (all 16 share one row
+                    because _REC_PER_ROW == the group size)."""
+                    folded = jnp.zeros((1, _LANE), jnp.int32)
+                    for rr in range(_REC_PER_ROW):
+                        bl = _REC_WORDS * rr
+                        seg = (
+                            (s1_lane >= bl)
+                            & (s1_lane < bl + 6)
+                            & (rem > rr)
+                        )
+                        folded = jnp.where(
+                            seg,
+                            pltpu.roll(astage[rr:rr + 1], bl, axis=1),
+                            folded,
+                        )
+                    srow = ((rc - rem) % _REC_STAGE) // _REC_PER_ROW
+                    stage[:] = jnp.where(
+                        s_sub == srow,
+                        jnp.broadcast_to(folded, (_SUB, _LANE)),
+                        stage[:],
+                    )
+
                 @pl.when(total > 0)
-                def _():
+                def _(fold_group=fold_group, sA_sub=sA_sub, sA_lane=sA_lane):
                     for u in range(UB):
                         keep_u = keep[u]
                         tot_u = jnp.sum(keep_u, dtype=jnp.int32)
@@ -407,59 +533,56 @@ def _sweep_kernel(
                                 for r in range(_SUB):
                                     @pl.when((rowbits >> r) % 2 == 1)
                                     def _(r=r):
-                                        v = jnp.where(
-                                            keep_u & (s_sub == r), _shl, 0
-                                        )
-                                        # replicate row r across sublanes so
-                                        # the stage write (which selects the
-                                        # RECORD's stage row, not r) sees the
-                                        # mask content at every sublane (sum,
-                                        # not max: lane-31 bits are negative)
-                                        v = jnp.broadcast_to(
-                                            jnp.sum(v, axis=0, keepdims=True),
-                                            (_SUB, _LANE),
-                                        )
+                                        # row r's keep bits -> 4 words at
+                                        # lanes 0/32/64/96 via 5 static
+                                        # roll-adds (sum, not max: lane-31
+                                        # bits are negative)
+                                        vr = jnp.sum(
+                                            jnp.where(
+                                                keep_u & (s_sub == r), _shl, 0
+                                            ),
+                                            axis=0, keepdims=True,
+                                        )  # (1, 128)
                                         for st_ in (1, 2, 4, 8, 16):
-                                            v = v + pltpu.roll(
-                                                v, _LANE - st_, axis=1
+                                            vr = vr + pltpu.roll(
+                                                vr, _LANE - st_, axis=1
                                             )
-                                        # 32-lane group sums at lanes
-                                        # 0/32/64/96 = the 4 mask words
                                         rc = state[0]
-                                        srow = (rc % _REC_STAGE) // _REC_PER_ROW
-                                        slot = rc % _REC_PER_ROW
                                         absrow = t * _SUB + r
-                                        for s_val in range(_REC_PER_ROW):
-                                            @pl.when(slot == s_val)
-                                            def _(s_val=s_val, v=v,
-                                                  srow=srow, absrow=absrow):
-                                                bl = _REC_WORDS * s_val
-                                                upd = jnp.zeros(
-                                                    (_SUB, _LANE), jnp.int32
-                                                )
-                                                for g in range(4):
-                                                    sh = (bl + g - 32 * g) % _LANE
-                                                    upd = jnp.where(
-                                                        s_lane == bl + g,
-                                                        pltpu.roll(v, sh, axis=1),
-                                                        upd,
-                                                    )
-                                                upd = jnp.where(
-                                                    s_lane == bl + 4, j_abs, upd
-                                                )
-                                                upd = jnp.where(
-                                                    s_lane == bl + 5, absrow, upd
-                                                )
-                                                m = (
-                                                    (s_sub == srow)
-                                                    & (s_lane >= bl)
-                                                    & (s_lane < bl + 6)
-                                                )
-                                                stage[:] = jnp.where(
-                                                    m, upd, stage[:]
-                                                )
+                                        b16 = jnp.broadcast_to(
+                                            vr, (_REC_PER_ROW, _LANE)
+                                        )
+                                        u16 = jnp.zeros(
+                                            (_REC_PER_ROW, _LANE), jnp.int32
+                                        )
+                                        for g in range(4):
+                                            u16 = jnp.where(
+                                                sA_lane == g,
+                                                pltpu.roll(
+                                                    b16,
+                                                    (g - 32 * g) % _LANE,
+                                                    axis=1,
+                                                ),
+                                                u16,
+                                            )
+                                        u16 = jnp.where(
+                                            sA_lane == 4, j_abs, u16
+                                        )
+                                        u16 = jnp.where(
+                                            sA_lane == 5, absrow, u16
+                                        )
+                                        m = (
+                                            sA_sub == rc % _REC_PER_ROW
+                                        ) & (sA_lane < 6)
+                                        astage[:] = jnp.where(
+                                            m, u16, astage[:]
+                                        )
                                         rc = rc + 1
                                         state[0] = rc
+
+                                        @pl.when(rc % _REC_PER_ROW == 0)
+                                        def _():
+                                            fold_group(rc, _REC_PER_ROW)
 
                                         @pl.when(rc % _REC_STAGE == 0)
                                         def _():
@@ -553,7 +676,10 @@ def _sweep_kernel(
                         )
                         state[1] = cc1
 
-        return j + UB, wbase, cnt, go
+        j_next = jnp.where(row_dead, wbase + (row + 1) * _LANE, j + UB)
+        if any_order:
+            j_next = jnp.where(state[3] != 0, wbase + _WIN, j_next)
+        return j_next, wbase, cnt, go
 
     wbase0 = j0 // _WIN * _WIN
     load_window(wbase0 // _LANE)  # window containing the stream start
@@ -567,11 +693,30 @@ def _sweep_kernel(
         return
 
     if emit == "records":
-        # final flush: write the whole stage once more (rows past the
-        # record tail are stale and ignored by the masked decode)
+        # final flush: fold the partial staging group (if any) into its
+        # dense stage row, then write the whole stage once more (rows past
+        # the record tail are stale and ignored by the masked decode)
         @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
         def _():
             rc = state[0]
+            rem = rc % _REC_PER_ROW
+
+            @pl.when(rem > 0)
+            def _():
+                s1l = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+                folded = jnp.zeros((1, _LANE), jnp.int32)
+                for rr in range(_REC_PER_ROW):
+                    bl = _REC_WORDS * rr
+                    seg = (s1l >= bl) & (s1l < bl + 6) & (rem > rr)
+                    folded = jnp.where(
+                        seg, pltpu.roll(astage[rr:rr + 1], bl, axis=1), folded
+                    )
+                srow = ((rc - rem) % _REC_STAGE) // _REC_PER_ROW
+                stage[:] = jnp.where(
+                    s_sub == srow,
+                    jnp.broadcast_to(folded, (_SUB, _LANE)),
+                    stage[:],
+                )
 
             @pl.when(rc % _REC_STAGE > 0)
             def _():
@@ -627,12 +772,13 @@ def decode_pairs_ap(packed, pairs_raw, is_two_lists: bool):
     jax.jit,
     static_argnames=(
         "is_two_lists", "budget", "interpret", "n_tiles", "raw", "count_only",
+        "any_order",
     ),
 )
 def pallas_sweep_pairs(
     packed, n, is_two_lists: bool, budget: int, interpret: bool = False,
     tile0=None, n_tiles: int = 0, raw: bool = False,
-    count_only: bool = False,
+    count_only: bool = False, any_order: bool = False,
 ):
     """Run the all-pairs sweep kernel over packed box planes.
 
@@ -667,7 +813,7 @@ def pallas_sweep_pairs(
 
     kernel = functools.partial(
         _sweep_kernel, is_two_lists=is_two_lists, budget=budget,
-        count_only=count_only,
+        count_only=count_only, any_order=any_order,
     )
     pairs, n_pairs, ovf = pl.pallas_call(
         kernel,
@@ -691,9 +837,9 @@ def pallas_sweep_pairs(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((6, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((_NF, _SUB, _LANE), jnp.float32),
             pltpu.VMEM((5, _SUB, _LANE), jnp.int32),
-            pltpu.SMEM((6, _SUB, _LANE), jnp.float32),
+            pltpu.SMEM((_NF, _SUB, _LANE), jnp.float32),
             pltpu.SMEM((5, _SUB, _LANE), jnp.int32),
             pltpu.VMEM((2, _SUB, _LANE), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
@@ -718,11 +864,13 @@ def pallas_sweep_pairs(
     jax.jit,
     static_argnames=(
         "is_two_lists", "pair_budget", "rec_budget", "interpret", "n_tiles",
+        "any_order",
     ),
 )
 def pallas_sweep_records(
     packed, n, is_two_lists: bool, pair_budget: int, rec_budget: int = 0,
     interpret: bool = False, tile0=None, n_tiles: int = 0,
+    any_order: bool = False,
 ):
     """All-pairs sweep with **bit-record** emission.
 
@@ -755,7 +903,7 @@ def pallas_sweep_records(
 
     kernel = functools.partial(
         _sweep_kernel, is_two_lists=is_two_lists, budget=pair_budget,
-        emit="records", rec_cap=rec_cap,
+        emit="records", rec_cap=rec_cap, any_order=any_order,
     )
     recs, n_pairs, n_recs, ovf = pl.pallas_call(
         kernel,
@@ -781,11 +929,12 @@ def pallas_sweep_records(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((6, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((_NF, _SUB, _LANE), jnp.float32),
             pltpu.VMEM((5, _SUB, _LANE), jnp.int32),
-            pltpu.SMEM((6, _SUB, _LANE), jnp.float32),
+            pltpu.SMEM((_NF, _SUB, _LANE), jnp.float32),
             pltpu.SMEM((5, _SUB, _LANE), jnp.int32),
             pltpu.VMEM((_SUB, _LANE), jnp.int32),
+            pltpu.VMEM((_REC_PER_ROW, _LANE), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],

@@ -115,6 +115,9 @@ def _partial_ccd(
     mem = config.memory.scaled()
     buckets = mem.query_buckets
     dtype = config.jnp_dtype
+    from scalable_ccd_tpu.narrow_phase import concat_frames
+
+    vcat = concat_frames(v0, v1, dtype)  # shared by every narrow batch
 
     if config.broad_impl == "fast":
         from scalable_ccd_tpu.pipeline.fused import sweep_chunks_fast
@@ -140,9 +143,13 @@ def _partial_ccd(
             overlaps = _pad_overlaps(chunk, n, b)
             valid = jnp.arange(b) < n
             if is_vf:
-                q = gather_vf_queries(v0, v1, faces, overlaps, dtype=dtype)
+                q = gather_vf_queries(
+                    v0, v1, faces, overlaps, dtype=dtype, vcat=vcat
+                )
             else:
-                q = gather_ee_queries(v0, v1, edges, overlaps, dtype=dtype)
+                q = gather_ee_queries(
+                    v0, v1, edges, overlaps, dtype=dtype, vcat=vcat
+                )
             from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
 
             use_pallas = (

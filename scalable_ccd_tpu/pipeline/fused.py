@@ -59,6 +59,7 @@ from scalable_ccd_tpu.geometry.aabb import (
     build_vertex_boxes,
 )
 from scalable_ccd_tpu.narrow_phase import (
+    concat_frames,
     find_roots,
     find_roots_bfs,
     gather_ee_queries,
@@ -397,6 +398,7 @@ def _phase(
     sweep_impl: str = "xla",
     collect: bool = False,
     ipc_refine: bool = False,
+    any_order: bool = False,
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
 
@@ -438,7 +440,7 @@ def _phase(
         packed, n_real = pack_boxes_ap(sorted_boxes)
         records, n_recs, n_pairs, overflow = pallas_sweep_records(
             packed, n_real, is_vf, pair_budget=pair_budget,
-            interpret=_pallas_interpret(),
+            interpret=_pallas_interpret(), any_order=any_order,
         )
         cum = records_pair_prefix(records, n_recs)
         pairs = None
@@ -455,6 +457,7 @@ def _phase(
             pairs, n_pairs, overflow = pallas_sweep_pairs(
                 packed, n_real, is_vf, budget=pair_budget,
                 interpret=_pallas_interpret(), raw=True,
+                any_order=any_order,
             )
         else:
             # range-sharded hardware sweep: shard s sweeps the a-side
@@ -477,6 +480,7 @@ def _phase(
                 packed, n_real, is_vf, budget=pair_budget,
                 interpret=_pallas_interpret(),
                 tile0=me * tiles_per, n_tiles=tiles_per, raw=True,
+                any_order=any_order,
             )
         # raw (a_slot, partner_eid) rows: element ids resolve per narrow
         # batch — one small gather per batch instead of one budget-sized
@@ -503,6 +507,9 @@ def _phase(
             )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
+    # one (n, 6) frame concat shared by every narrow batch: halves the
+    # per-batch row-gather count (concat_frames docstring)
+    vcat = concat_frames(v0, v1, dtype)
 
     def run_solver(chunk, keep, toi, ms_kw=None, max_iter=None, zero_ok=None):
         """Solve one dense candidate batch; returns
@@ -517,9 +524,9 @@ def _phase(
         if decode is not None:
             chunk = decode(chunk)
         if is_vf:
-            q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype)
+            q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype, vcat=vcat)
         else:
-            q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype)
+            q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype, vcat=vcat)
         if solver == "pallas":
             out = pallas_find_roots(
                 q, keep, is_vf, toi, ms_, tolerance,
@@ -767,6 +774,7 @@ def fused_ccd_core(
     solver: str = "bfs",
     collect: bool = False,
     ipc_refine: bool = False,
+    bucket_minor: bool = False,
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
 
@@ -777,13 +785,20 @@ def fused_ccd_core(
     (``MAX_OVERLAP_CUTOFF``-like); both loops exit early once the true totals
     are consumed, so oversized budgets cost compile-time shapes, not runtime.
     """
+    if bucket_minor and sweep_impl not in ("pallas_ap", "pallas_rec"):
+        raise ValueError(
+            "bucket_minor ordering is only valid for the Pallas sweep "
+            "kernels (the XLA sweep requires exactly-sorted major bounds)"
+        )
     vb = build_vertex_boxes(
         vertices_t0, vertices_t1, inflation_radius=min_distance, dtype=dtype
     )
     eb = build_edge_boxes(vb, edges)
     fb = build_face_boxes(vb, faces)
-    vf_sorted = sort_boxes(merge_two_lists(vb, fb), axis=sweep_axis)
-    ee_sorted = sort_boxes(eb, axis=sweep_axis)
+    vf_sorted = sort_boxes(
+        merge_two_lists(vb, fb), axis=sweep_axis, bucket_minor=bucket_minor
+    )
+    ee_sorted = sort_boxes(eb, axis=sweep_axis, bucket_minor=bucket_minor)
 
     common = dict(
         v0=vertices_t0,
@@ -803,6 +818,7 @@ def fused_ccd_core(
         axis_name=axis_name,
         solver=solver,
         sweep_impl=sweep_impl,
+        any_order=bucket_minor,
     )
     toi0 = jnp.asarray(1.0, dtype)
     if collect:
@@ -868,6 +884,7 @@ def fused_ccd_core(
         "solver",
         "collect",
         "ipc_refine",
+        "bucket_minor",
     ),
 )
 def _fused_ccd_jit(
@@ -893,6 +910,7 @@ def _fused_ccd_jit(
     solver: str = "bfs",
     collect: bool = False,
     ipc_refine: bool = False,
+    bucket_minor: bool = False,
 ) -> FusedCCDResult:
     return fused_ccd_core(
         vertices_t0,
@@ -918,6 +936,7 @@ def _fused_ccd_jit(
         solver=solver,
         collect=collect,
         ipc_refine=ipc_refine,
+        bucket_minor=bucket_minor,
     )
 
 

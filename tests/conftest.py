@@ -12,6 +12,11 @@ import sys
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# No persistent compilation cache under pytest: the cache only helps across
+# processes, CPU compiles here are cheap, and a cache entry truncated by a
+# killed run (or compiled on another host) has segfaulted the XLA:CPU AOT
+# loader mid-suite.  Must be set before the package import enables the cache.
+os.environ.setdefault("SCCD_NO_COMPILE_CACHE", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,6 +26,27 @@ import jax  # noqa: E402
 # platform must be forced through the config (env vars are read too early).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    A full-suite process accumulates hundreds of XLA:CPU executables
+    (including very large interpret-mode Pallas traces); past ~130 tests
+    the next compile has segfaulted inside XLA:CPU
+    (``backend_compile_and_load``) even with 100+ GB free — every file
+    passes in isolation.  Per-module cache clearing keeps the process
+    footprint bounded; cross-module recompiles cost a few minutes total.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
 
 
 def pytest_addoption(parser):

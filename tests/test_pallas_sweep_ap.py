@@ -205,6 +205,58 @@ def test_fused_pipeline_records_sweep_matches_xla():
     assert sorted(hits_rec) == sorted(hits_xla)
 
 
+@pytest.mark.parametrize("is_two_lists", [True, False])
+def test_bucket_minor_ordering_matches(is_two_lists):
+    """Congestion ordering: ``sort_boxes(bucket_minor=True)`` reorders the
+    boxes by (major bucket, minor lower bound), which breaks the exact
+    major sort the XLA sweep needs — but the kernel's suffix-min
+    termination plane must keep the enumerated pair set EXACTLY equal to
+    the plain-sort reference, with the row minor-union skip active."""
+    scene = cloth_on_sphere(grid_n=14, sphere_subdiv=1, drop=0.35)
+    vb, eb, fb = _boxes(scene)
+    merged = merge_two_lists(vb, fb) if is_two_lists else eb
+    ref = set(
+        map(
+            tuple,
+            detect_overlaps(sort_boxes(merged), is_two_lists=is_two_lists).tolist(),
+        )
+    )
+    sb = sort_boxes(merged, bucket_minor=True)
+    # the ordering genuinely differs from the plain major sort
+    assert not bool(
+        jnp.all(sb.major_min[1:] >= sb.major_min[:-1])
+    ), "bucket_minor produced an exactly-sorted order; test is vacuous"
+    packed, n = pack_boxes_ap(sb)
+    pairs, np_, ovf = pallas_sweep_pairs(
+        packed, n, is_two_lists, budget=1 << 15, interpret=True,
+        any_order=True,
+    )
+    assert not bool(ovf)
+    assert _pairs_set(pairs, np_) == ref
+
+
+def test_fused_pipeline_bucket_minor_matches_xla():
+    scene = cloth_on_sphere(grid_n=8, sphere_subdiv=0, drop=0.6)
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    args = (
+        jnp.asarray(scene.vertices_t0, jnp.float32),
+        jnp.asarray(scene.vertices_t1, jnp.float32),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+    kw = dict(vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32)
+    r_xla = fused_ccd(*args, sweep_impl="xla", **kw)
+    r_bm = fused_ccd(*args, sweep_impl="pallas_ap", bucket_minor=True, **kw)
+    assert float(r_bm.toi) == pytest.approx(float(r_xla.toi), abs=1e-6)
+    assert int(r_bm.vf_total) == int(r_xla.vf_total)
+    assert int(r_bm.ee_total) == int(r_xla.ee_total)
+
+    # the XLA sweep must refuse the invalid combination
+    with pytest.raises(ValueError):
+        fused_ccd(*args, sweep_impl="xla", bucket_minor=True, **kw)
+
+
 def test_kernel_empty_scene():
     soup = triangle_soup(4, motion=0.0, seed=5)
     _, eb, _ = _boxes(soup)
