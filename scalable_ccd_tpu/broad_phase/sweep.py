@@ -160,11 +160,21 @@ def sort_boxes(
         extent = jnp.mean(jnp.maximum(major_max - major_min, 0.0))
         q = jnp.where(extent > 0, 4.0 * extent, jnp.asarray(1.0, major_min.dtype))
         bucket = jnp.floor(major_min / q)
-        n_rows = major_min.shape[0]
-        _, _, order = jax.lax.sort(
-            (bucket, minor_min[:, 0], jnp.arange(n_rows, dtype=jnp.int32)),
-            num_keys=2,
-        )
+        # ONE f32-key argsort instead of a 2-key lax.sort (measured 35 vs
+        # 41 ms at 3M boxes; the rest of sort_boxes is the SoA reorder
+        # gathers, PERF.md): consecutive buckets differ by >= 1.0 in the
+        # composite key, and the minor fraction only needs to order
+        # coherently WITHIN a bucket — f32 quantization of the fraction
+        # merely blurs the secondary order (and near the f32 mantissa
+        # limit can round across a bucket edge), which affects sweep cost,
+        # never the pair set: the kernel's any-order planes are exact for
+        # EVERY ordering.
+        m0 = minor_min[:, 0]
+        mlo = jnp.min(m0)
+        mspan = jnp.maximum(jnp.max(m0) - mlo, 1e-30)
+        frac = jnp.clip((m0 - mlo) / mspan, 0.0, 1.0 - 1e-7)
+        bucket = bucket - jnp.min(bucket)  # small magnitudes keep f32 exact
+        order = jnp.argsort((bucket + frac).astype(jnp.float32))
     else:
         order = jnp.argsort(major_min)
     return SortedBoxes(

@@ -69,6 +69,7 @@ def make_sharded_ccd(
     sweep_impl: str = "auto",
     solver: str = "auto",
     ipc_refine: bool = False,
+    bucket_minor="auto",
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.
 
@@ -80,9 +81,16 @@ def make_sharded_ccd(
     range-sharded all-pairs sweep + the in-VMEM DFS solver with per-batch
     ``pmin`` TOI exchange) and to the XLA twins elsewhere; pass
     ``"pallas_ap"``/``"pallas"`` explicitly to force the kernels (e.g.
-    interpret-mode tests).
+    interpret-mode tests).  ``bucket_minor="auto"`` mirrors
+    :func:`fused_ccd`: congestion ordering switches on at the same
+    VF-box-count threshold on the kernel sweeps (the sort is replicated,
+    so every shard sweeps the same order; the a-side range shard is
+    ordering-agnostic).
     """
-    from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
+    from scalable_ccd_tpu.pipeline.fused import (
+        _AUTO_BUCKET_MIN_BOXES,
+        _pallas_interpret,
+    )
 
     if sweep_impl == "auto":
         sweep_impl = "xla" if _pallas_interpret() else "pallas_ap"
@@ -91,6 +99,13 @@ def make_sharded_ccd(
         solver = "bfs" if (exact or _pallas_interpret()) else "pallas"
 
     def step(v0, v1, edges, faces, min_distance, tolerance):
+        bm = bucket_minor
+        if bm == "auto":
+            # shapes are static at trace time, so auto resolves here
+            bm = bool(
+                v0.shape[0] + faces.shape[0] >= _AUTO_BUCKET_MIN_BOXES
+                and sweep_impl in ("pallas_ap", "pallas_rec")
+            )
         return fused_ccd_core(
             v0,
             v1,
@@ -111,6 +126,7 @@ def make_sharded_ccd(
             sweep_impl=sweep_impl,
             solver=solver,
             ipc_refine=ipc_refine,
+            bucket_minor=bm,
             axis_name=AXIS,
         )
 

@@ -81,6 +81,11 @@ def _pallas_interpret() -> bool:
     """Interpret-mode Pallas off-TPU (CPU tests, forced-cpu dryruns)."""
     return jax.default_backend() != "tpu"
 
+
+#: ``fused_ccd(bucket_minor="auto")`` enables the congestion ordering at
+#: this many VF-phase boxes (vertices + faces); see the wrapper comment.
+_AUTO_BUCKET_MIN_BOXES = 1 << 20
+
 __all__ = [
     "FusedCCDResult",
     "FusedCollisionsResult",
@@ -975,6 +980,13 @@ def fused_ccd(
     bounded iterations → per-lane check counters) — and to the XLA queue
     solver ("bfs") off-TPU or when an f64 dtype is requested (the kernel
     computes in f32).
+
+    ``bucket_minor`` defaults to ``"auto"``: congestion ordering (sort by
+    quantized major bucket then minor lower bound, with the kernel's exact
+    any-order planes) switches on at ``_AUTO_BUCKET_MIN_BOXES`` VF-phase
+    boxes on the kernel sweeps, where it was measured -32% on congested
+    scenes and ~neutral below (PERF.md).  Pass ``True``/``False`` to
+    force; the pair set and TOI are ordering-invariant either way.
     """
     if validate:
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
@@ -1001,6 +1013,18 @@ def fused_ccd(
         # the all-pairs sweep kernel on TPU; XLA shift-block elsewhere
         # (interpret-mode partner streaming is impractically slow on CPU)
         kwargs["sweep_impl"] = "xla" if _pallas_interpret() else "pallas_ap"
+    if kwargs.get("bucket_minor", "auto") == "auto":
+        # congestion ordering pays off when thousands of boxes share each
+        # sorted-axis column (measured: -32% at 3M boxes / grid-1000,
+        # ~neutral at 470k / grid-384, PERF.md); a box-count threshold is a
+        # free, predictable proxy.  The pair set is ordering-invariant
+        # (the kernel's any_order mode is exact), so a wrong guess only
+        # shifts sweep cost a few percent.
+        n_vf_boxes = jnp.shape(vertices_t0)[0] + jnp.shape(faces)[0]
+        kwargs["bucket_minor"] = bool(
+            n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
+            and kwargs["sweep_impl"] in ("pallas_ap", "pallas_rec")
+        )
     if collisions is None:
         return _fused_ccd_jit(
             vertices_t0, vertices_t1, edges, faces, solver=solver, **kwargs

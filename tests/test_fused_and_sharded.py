@@ -112,6 +112,45 @@ class TestSharded:
         assert int(res.vf_total) == int(single.vf_total)
         assert int(res.ee_total) == int(single.ee_total)
 
+    def test_eight_shards_bucket_minor_matches(self):
+        """Congestion ordering under shard_map: the replicated bucketed
+        sort + the kernel's any-order planes must leave TOI and pair
+        totals identical to the plain-sorted single-chip kernel path."""
+        s = cloth_on_sphere(grid_n=8, sphere_subdiv=0, drop=0.6)
+        args = _args(s, jnp.float32)
+        mesh = default_mesh()
+        fn = make_sharded_ccd(
+            mesh, vf_budget_per_shard=1 << 12, ee_budget_per_shard=1 << 12,
+            dtype=jnp.float32, sweep_impl="pallas_ap", solver="pallas",
+            bucket_minor=True,
+        )
+        res = fn(*args, jnp.float32(0.0), jnp.float32(1e-6))
+        assert not bool(res.overflowed)
+        single = fused_ccd(
+            *args, vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32,
+            sweep_impl="pallas_ap", solver="pallas", bucket_minor=False,
+        )
+        assert float(res.toi) == float(single.toi)
+        assert int(res.vf_total) == int(single.vf_total)
+        assert int(res.ee_total) == int(single.ee_total)
+
+    def test_bucket_minor_auto_threshold(self, monkeypatch):
+        """``bucket_minor="auto"`` (the default) resolves by box count: with
+        the threshold forced to 1 every scene qualifies, and the result must
+        still match the forced-off path exactly."""
+        import scalable_ccd_tpu.pipeline.fused as fused_mod
+
+        monkeypatch.setattr(fused_mod, "_AUTO_BUCKET_MIN_BOXES", 1)
+        s = cloth_on_sphere(grid_n=8, sphere_subdiv=0, drop=0.6)
+        args = _args(s, jnp.float32)
+        kw = dict(vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32,
+                  sweep_impl="pallas_ap", solver="pallas")
+        auto = fused_ccd(*args, **kw)  # auto -> True under the patch
+        off = fused_ccd(*args, bucket_minor=False, **kw)
+        assert float(auto.toi) == float(off.toi)
+        assert int(auto.vf_total) == int(off.vf_total)
+        assert int(auto.ee_total) == int(off.ee_total)
+
     def test_per_shard_overflow_detected(self, scene):
         mesh = default_mesh()
         fn = make_sharded_ccd(
