@@ -29,8 +29,6 @@ BASELINE_PATH = os.path.join(REPO, "BENCH_BASELINE.json")
 # (46,598 vertex / 138,825 edge / 92,230 face boxes; BASELINE.md).
 GRID_N = 128
 SUBDIV = 4
-VF_BUDGET = 1 << 22  # surviving-candidate budgets (MAX_OVERLAP_SIZE analogue)
-EE_BUDGET = 1 << 22
 REPS = 5
 
 # First TPU result ever recorded for this scene (2026-08-16, BASELINE.md);
@@ -51,9 +49,11 @@ def main() -> None:
         jnp.asarray(scene.faces, jnp.int32),
     )
     # unbounded iterations select the scatter-free global fast mode; runtime
-    # is bounded by the solver's round cap (conservative accepts past it)
+    # is bounded by the solver's round cap (conservative accepts past it).
+    # Budgets stay "auto" — the library sizes them scene-proportionally and
+    # retries once from exact totals on overflow, so this benches exactly
+    # the configuration a user gets by default.
     kw = dict(
-        vf_budget=VF_BUDGET, ee_budget=EE_BUDGET,
         max_iterations=-1, dtype=jnp.float32,
         validate=False,  # validated once below; keep reps pure device time
     )
@@ -68,13 +68,8 @@ def main() -> None:
         jax.device_get(res.toi)
         return res
 
-    res = run_synced()  # compile + warm up
-    for _ in range(3):  # grow budgets like the reference's retry
-        if not bool(jax.device_get(res.overflowed)):
-            break
-        kw["vf_budget"] *= 2
-        kw["ee_budget"] *= 2
-        res = run_synced()
+    res = run_synced()  # compile + warm up (+ the one-off auto retry)
+    assert not bool(jax.device_get(res.overflowed))
 
     times = []
     for _ in range(REPS):

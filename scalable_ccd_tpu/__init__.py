@@ -40,7 +40,11 @@ def _enable_compilation_cache() -> None:
         # CPU features; loading one on a host with different features has
         # segfaulted (the loader itself warns about SIGILL).  Keying the
         # directory by a host fingerprint makes a moved checkout recompile
-        # instead of loading foreign binaries.
+        # instead of loading foreign binaries.  /proc/cpuinfo flags alone
+        # proved insufficient (a same-flags container migration still
+        # loaded an entry whose LLVM target features mismatched the host),
+        # so the machine identity is part of the key: a new container gets
+        # a fresh cache.
         parts = [platform.machine()]
         try:
             with open("/proc/cpuinfo") as f:
@@ -50,14 +54,34 @@ def _enable_compilation_cache() -> None:
                         break
         except OSError:
             parts.append(platform.processor())
+        for mid in ("/etc/machine-id", "/proc/sys/kernel/random/boot_id"):
+            try:
+                with open(mid) as f:
+                    parts.append(f.read().strip())
+                break
+            except OSError:
+                continue
         tag = hashlib.sha1(" ".join(parts).encode()).hexdigest()[:10]
 
-        cache_dir = os.environ.get("SCCD_COMPILE_CACHE_DIR") or os.path.join(
+        cache_root = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache",
-            f"host-{tag}",
+        )
+        cache_dir = os.environ.get("SCCD_COMPILE_CACHE_DIR") or os.path.join(
+            cache_root, f"host-{tag}"
         )
         os.makedirs(cache_dir, exist_ok=True)
+        # prune cache dirs for other hosts: they are never read again and
+        # hold binaries that are unsafe to load here anyway
+        try:
+            import shutil
+
+            for d in os.listdir(cache_root):
+                p = os.path.join(cache_root, d)
+                if d.startswith("host-") and p != cache_dir:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

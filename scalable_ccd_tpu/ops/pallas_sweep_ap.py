@@ -75,6 +75,22 @@ _REC_WORDS = 8
 _REC_PER_ROW = _LANE // _REC_WORDS
 _REC_STAGE = _SUB * _REC_PER_ROW
 
+#: sparse-staged bit-record emission: records are built in full 128-lane
+#: staging rows (placement = ONE sublane-compare select per record,
+#: instead of the dense path's per-record 16-way slot placement + group
+#: fold that made dense records ~1 us each, PERF.md round-3) and land in
+#: HBM at the same 32 B/record as the dense layout: a branch-free BULK
+#: fold compacts the full (32, 128) staging block to 2 dense rows of the
+#: (8, 128) fold buffer once per 32 records (32 static roll+selects
+#: ~= 1 vector op/record, amortized where the dense path paid per
+#: record), and the fold buffer DMAs to HBM once per 128 records at
+#: 8-row alignment — Mosaic cannot DMA lane-slices (tiling 128), so a
+#: narrow copy of lanes 0:8 is not an option; the fold is the cheapest
+#: dense landing and makes the HBM layout identical to ``"dense"``.
+_SREC_STAGE = 32
+_SREC_FOLD_ROWS = _SREC_STAGE // _REC_PER_ROW  # dense rows per fold (2)
+_SREC_FOLDS = _SUB // _SREC_FOLD_ROWS  # fold slots per flush buffer (4)
+
 # f32 field plane order.  The last five exist on the partner side only
 # (zeros on a permuted a-side): _FWDMIN = suffix-min of major_min over the
 # stream order — the EXACT stream-termination bound for ANY box ordering
@@ -224,13 +240,17 @@ def _sweep_kernel(
                   # planes 6-10 = suffix-min termination + row/window minor unions)
     wi_hbm,       # (5, R, 128) i32 in HBM: partner side
     *refs,        # outputs then scratch — layout depends on ``emit``:
-                  #   pairs:   pairs_out (2, PB, 128) HBM; np_out, ovf_out
-                  #            (1,1) SMEM; scratch a_f a_i w_f w_i,
+                  #   pairs:   pairs_out (2, PB, 128) HBM; np_out, nt_out,
+                  #            ovf_out (1,1) SMEM; scratch a_f a_i w_f w_i,
                   #            stage (2,8,128), state (4,), sems (4,)
                   #   records: recs_out (RR, 128) HBM; np_out, nrec_out,
                   #            ovf_out (1,1) SMEM; scratch a_f a_i w_f w_i,
                   #            stage (8,128), astage (16,128), state (4,),
                   #            sems (4,)
+                  #   sparse:  recs_out (RR, 128) HBM; np_out, nrec_out,
+                  #            ovf_out (1,1) SMEM; scratch a_f a_i w_f w_i,
+                  #            stage (_SREC_STAGE,128), foldbuf (8,128),
+                  #            state (4,), sems (4,)
     is_two_lists: bool,
     budget: int,
     count_only: bool = False,
@@ -241,8 +261,57 @@ def _sweep_kernel(
     if emit == "records":
         (recs_out, np_out, nrec_out, ovf_out,
          a_f, a_i, w_f, w_i, stage, astage, state, sems) = refs
+    elif emit == "sparse":
+        (recs_out, np_out, nrec_out, ovf_out,
+         a_f, a_i, w_f, w_i, stage, foldbuf, state, sems) = refs
+
+        def fold_stage(fidx):
+            # Butterfly fold: the (32, 128) staging block (one record per
+            # row, lanes 0:8, rest stale) -> 2 dense 16-record rows, in 4
+            # static roll+select steps.  Step k pairs rows at pitch 2^k:
+            # the odd row's record block (lanes [0, 8*2^k), valid by
+            # induction) rolls up by the pitch and right by 8*2^k lanes
+            # into the even row; after step 3 rows 0 and 16 are the two
+            # dense rows.  Stale lanes never leak: each step copies
+            # exactly the source row's valid block (words 6:7 of each
+            # record ride along as garbage — the decode reads words 0:6
+            # only).  A flat 32-select chain was tried first and
+            # SEGFAULTED XLA:CPU's compiler when the kernel was inlined
+            # into the fused pipeline (interpret mode) — keep fold chains
+            # log-depth.
+            f_sub = jax.lax.broadcasted_iota(
+                jnp.int32, (_SREC_STAGE, _LANE), 0
+            )
+            f_lane = jax.lax.broadcasted_iota(
+                jnp.int32, (_SREC_STAGE, _LANE), 1
+            )
+            x = stage[:]
+            for k in range(4):  # pitch 1,2,4,8 rows; width 8,16,..,64 lanes
+                pitch = 1 << k
+                width = _REC_WORDS << k
+                rolled = pltpu.roll(
+                    pltpu.roll(x, _SREC_STAGE - pitch, axis=0),
+                    width, axis=1,
+                )
+                seg = (
+                    (f_sub % (2 * pitch) == 0)
+                    & (f_lane >= width) & (f_lane < 2 * width)
+                )
+                x = jnp.where(seg, rolled, x)
+            fb_sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+            fb = foldbuf[:]
+            half = _SREC_STAGE // 2
+            fb = jnp.where(
+                fb_sub == _SREC_FOLD_ROWS * fidx,
+                jnp.broadcast_to(x[0:1], (_SUB, _LANE)), fb,
+            )
+            fb = jnp.where(
+                fb_sub == _SREC_FOLD_ROWS * fidx + 1,
+                jnp.broadcast_to(x[half:half + 1], (_SUB, _LANE)), fb,
+            )
+            foldbuf[:] = fb
     else:
-        (pairs_out, np_out, ovf_out,
+        (pairs_out, np_out, nt_out, ovf_out,
          a_f, a_i, w_f, w_i, stage, state, sems) = refs
     t = tile0_ref[0, 0] + pl.program_id(0)
     n = n_ref[0, 0]
@@ -285,7 +354,7 @@ def _sweep_kernel(
     flatpos = sub_iota * _LANE + lane_iota  # a-box index within subtile
     s_sub = sub_iota
     s_lane = lane_iota
-    if emit == "records":
+    if emit in ("records", "sparse"):
         _shl = jnp.int32(1) << (s_lane % 32)  # lane -> its mask-word bit
 
     a_min0, a_min1 = a_f[_MIN0], a_f[_MIN1]
@@ -601,6 +670,113 @@ def _sweep_kernel(
                                             dma.wait()
                 return
 
+            if emit == "sparse":
+                # Sparse-staged bit records (PERF.md round-3 design): one
+                # record per (partner, subtile-row) with survivors, built in
+                # a full 128-lane staging row (lanes 0:6 = 4 mask words,
+                # partner sorted index, absolute a-row; the rest stale).
+                # ALL the mask-word packing runs ONCE per surviving partner
+                # on the full (8, 128) keep plane (5 roll-adds pack every
+                # row's 128 bits in parallel; 3 roll+selects lay words out
+                # to lanes 1:4), so a record costs just one static row slice
+                # + one sublane-compare select into the staging block — no
+                # 16-way slot placement (the dense path's ~1 us/record cost
+                # driver).  Every 32 records the block BULK-folds into 2
+                # dense rows of the fold buffer (32 static roll+selects,
+                # ~1 op/record amortized), which DMAs to HBM every 128
+                # records — so HBM sees the exact "dense" layout and the
+                # decode path is shared.
+                sS_sub = jax.lax.broadcasted_iota(
+                    jnp.int32, (_SREC_STAGE, _LANE), 0
+                )
+
+                @pl.when(total > 0)
+                def _(sS_sub=sS_sub):
+                    for u in range(UB):
+                        keep_u = keep[u]
+                        tot_u = jnp.sum(keep_u, dtype=jnp.int32)
+
+                        @pl.when(tot_u > 0)
+                        def _(u=u, keep_u=keep_u, tot_u=tot_u):
+                            cc0 = state[1]
+                            rc0 = state[0]
+                            fits = (cc0 + tot_u <= jnp.int32(budget)) & (
+                                rc0 + _SUB <= jnp.int32(rec_cap)
+                            )
+                            state[2] = jnp.where(fits, state[2], 1)
+
+                            @pl.when(fits)
+                            def _(u=u, keep_u=keep_u, tot_u=tot_u, cc0=cc0):
+                                state[1] = cc0 + tot_u
+                                # all 8 rows' mask words in parallel: after
+                                # the roll-adds lane 32g of row r holds
+                                # word g of row r's 128-bit survivor mask
+                                vr8 = jnp.where(keep_u, _shl, 0)
+                                for st_ in (1, 2, 4, 8, 16):
+                                    vr8 = vr8 + pltpu.roll(
+                                        vr8, _LANE - st_, axis=1
+                                    )
+                                u8 = vr8  # lane 0 already holds word 0
+                                for g in range(1, 4):
+                                    u8 = jnp.where(
+                                        s_lane == g,
+                                        pltpu.roll(
+                                            vr8, (g - 32 * g) % _LANE, axis=1
+                                        ),
+                                        u8,
+                                    )
+                                u8 = jnp.where(s_lane == 4, j + u, u8)
+                                u8 = jnp.where(
+                                    s_lane == 5, t * _SUB + s_sub, u8
+                                )
+                                # one reduce: bit r set iff row r survives
+                                rowmax = jnp.max(
+                                    jnp.where(
+                                        keep_u, jnp.int32(1) << s_sub, 0
+                                    ),
+                                    axis=1, keepdims=True,
+                                )
+                                rowbits = jnp.sum(rowmax, dtype=jnp.int32)
+                                for r in range(_SUB):
+                                    @pl.when((rowbits >> r) % 2 == 1)
+                                    def _(r=r):
+                                        rc = state[0]
+                                        stage[:] = jnp.where(
+                                            sS_sub == rc % _SREC_STAGE,
+                                            jnp.broadcast_to(
+                                                u8[r:r + 1],
+                                                (_SREC_STAGE, _LANE),
+                                            ),
+                                            stage[:],
+                                        )
+                                        rc = rc + 1
+                                        state[0] = rc
+
+                                        @pl.when(rc % _SREC_STAGE == 0)
+                                        def _(rc=rc):
+                                            fold_stage(
+                                                (rc // _SREC_STAGE - 1)
+                                                % _SREC_FOLDS
+                                            )
+
+                                            @pl.when(rc % _REC_STAGE == 0)
+                                            def _():
+                                                row8 = pl.multiple_of(
+                                                    (rc // _REC_STAGE - 1)
+                                                    * _SUB,
+                                                    _SUB,
+                                                )
+                                                dma = pltpu.make_async_copy(
+                                                    foldbuf,
+                                                    recs_out.at[
+                                                        pl.ds(row8, _SUB), :
+                                                    ],
+                                                    sems.at[2],
+                                                )
+                                                dma.start()
+                                                dma.wait()
+                return
+
             @pl.when(total > 0)
             def _():
                 # extract per partner: all pop-loop vector work then runs on
@@ -689,7 +865,36 @@ def _sweep_kernel(
 
     if count_only:
         np_out[0, 0] = state[1]
+        if emit == "pairs":
+            nt_out[0, 0] = state[1]
         ovf_out[0, 0] = 0
+        return
+
+    if emit == "sparse":
+        # final flush: fold the partial staging block (if any — its rows
+        # past the record tail fold in as garbage records, masked by the
+        # record count downstream), then write the whole fold buffer once
+        # more when it holds records not yet DMA'd
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            rc = state[0]
+
+            @pl.when(rc % _SREC_STAGE > 0)
+            def _():
+                fold_stage((rc // _SREC_STAGE) % _SREC_FOLDS)
+
+            @pl.when(rc % _REC_STAGE > 0)
+            def _():
+                row8 = pl.multiple_of((rc // _REC_STAGE) * _SUB, _SUB)
+                dma = pltpu.make_async_copy(
+                    foldbuf, recs_out.at[pl.ds(row8, _SUB), :], sems.at[2]
+                )
+                dma.start()
+                dma.wait()
+
+        np_out[0, 0] = state[1]
+        nrec_out[0, 0] = state[0]
+        ovf_out[0, 0] = state[2]
         return
 
     if emit == "records":
@@ -742,6 +947,11 @@ def _sweep_kernel(
             flush(rem)
 
     np_out[0, 0] = state[0]
+    # exact survivor total: the pop loops run for EVERY filter survivor
+    # (they are not budget-gated; only the stage flush is), so state[1]
+    # is the true pair count even when the buffer overflowed — the
+    # auto-budget retry sizes its second dispatch from this
+    nt_out[0, 0] = state[1]
     ovf_out[0, 0] = state[2]
 
 
@@ -783,10 +993,14 @@ def pallas_sweep_pairs(
     """Run the all-pairs sweep kernel over packed box planes.
 
     ``packed`` is the tuple from :func:`pack_boxes_ap`.  Returns
-    ``(pairs, n_pairs, overflow)``: ``pairs`` is ``(PB, 2)`` int32 with the
-    surviving element-id pairs in rows ``[0, n_pairs)`` (order is
-    deterministic but not sorted), ``overflow`` True when the budget was
-    exceeded (missing pairs — caller must retry or fall back).
+    ``(pairs, n_pairs, n_true, overflow)``: ``pairs`` is ``(PB, 2)`` int32
+    with the surviving element-id pairs in rows ``[0, n_pairs)`` (order is
+    deterministic but not sorted); ``n_true`` is the EXACT survivor total
+    regardless of budget (the filter/pop path is not budget-gated, only
+    buffer writes are); ``overflow`` True when the budget was exceeded
+    (rows past ``n_pairs`` missing — the caller retries with a budget
+    sized from ``n_true``, cf. the reference's memory-handler re-size
+    loop, ``memory_handler.hpp``/``broad_phase.cu`` overflow retry).
 
     With ``raw=True`` the buffer instead holds the kernel's raw
     ``(a_slot, partner_eid)`` rows — pass them (or any row subset) through
@@ -815,7 +1029,7 @@ def pallas_sweep_pairs(
         _sweep_kernel, is_two_lists=is_two_lists, budget=budget,
         count_only=count_only, any_order=any_order,
     )
-    pairs, n_pairs, ovf = pl.pallas_call(
+    pairs, n_pairs, n_true, ovf = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -830,9 +1044,11 @@ def pallas_sweep_pairs(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, PBR, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
@@ -857,37 +1073,51 @@ def pallas_sweep_pairs(
     out = jnp.transpose(flat)
     if not raw and not count_only:
         out = decode_pairs_ap(packed, out, is_two_lists)
-    return out, n_pairs[0, 0], ovf[0, 0] != 0
+    return out, n_pairs[0, 0], n_true[0, 0], ovf[0, 0] != 0
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "is_two_lists", "pair_budget", "rec_budget", "interpret", "n_tiles",
-        "any_order",
+        "any_order", "layout",
     ),
 )
 def pallas_sweep_records(
     packed, n, is_two_lists: bool, pair_budget: int, rec_budget: int = 0,
     interpret: bool = False, tile0=None, n_tiles: int = 0,
-    any_order: bool = False,
+    any_order: bool = False, layout: str = "sparse",
 ):
     """All-pairs sweep with **bit-record** emission.
 
     Instead of popping survivors one by one (a ~300-500 ns/pop latency
-    chain, PERF.md), the kernel writes one 16-byte record per
+    chain, PERF.md), the kernel writes one record per
     (partner, 128-box a-row) with any survivor: 4 mask words (one bit
     per a-lane, packed with 5 static roll-adds), the partner's sorted
     index, and the absolute a-row.  Records cost ~O(1) vector work each
     regardless of how many survivors they carry; the XLA side bit-ranks
     them per narrow batch (:func:`decode_records_range`).
 
+    ``layout`` picks the emission scheme (identical decode, identical HBM
+    layout and cost, 32 B/record):
+
+    - ``"sparse"`` (default): mask packing amortized per surviving
+      partner on the full (8, 128) plane; placing a record is one
+      sublane-compare select into a full-width staging row, bulk-folded
+      to the dense layout every 32 records (~1 vector op/record) — the
+      cheapest per-record vector work (PERF.md round-3).
+    - ``"dense"``: records packed 16 per staging row in-kernel; each
+      record pays a 16-way slot placement and every 16 records a group
+      fold — measured ~1 us/record, slower than pops; kept as a tested
+      alternative.
+
     Returns ``(records, n_records, n_pairs, overflow)`` where ``records``
-    is ``(rec_cap, 8)`` int32 with valid rows ``[0, n_records)`` and
-    ``n_pairs`` the exact surviving-pair total; ``overflow`` means the
-    pair or record budget was exceeded (records/pairs missing — retry or
-    fall back).  ``rec_budget`` defaults to ``pair_budget`` (every record
-    holds at least one pair, so that never overflows first).
+    is ``(R, 8)`` int32 with valid rows
+    ``[0, n_records)`` and ``n_pairs`` the exact surviving-pair total;
+    ``overflow`` means the pair or record budget was exceeded
+    (records/pairs missing — retry or fall back).  ``rec_budget``
+    defaults to ``pair_budget`` (every record holds at least one pair,
+    so that never overflows first).
     """
     bf, bi, wf, wi = packed
     n_static = bf.shape[1] * _LANE - 2 * _WIN
@@ -897,13 +1127,15 @@ def pallas_sweep_records(
         tile0 = jnp.int32(0)
     if rec_budget <= 0:
         rec_budget = pair_budget
-    # 8-row stages plus one stage of slack for the final whole-stage flush
-    rec_rows = (-(-rec_budget // _REC_STAGE) + 1) * _SUB
     rec_cap = rec_budget
+    # 8-row flush buffers plus one of slack for the final whole-buffer
+    # flush (both layouts land the same dense 16-record/row HBM format)
+    rec_rows = (-(-rec_budget // _REC_STAGE) + 1) * _SUB
 
     kernel = functools.partial(
         _sweep_kernel, is_two_lists=is_two_lists, budget=pair_budget,
-        emit="records", rec_cap=rec_cap, any_order=any_order,
+        emit="sparse" if layout == "sparse" else "records",
+        rec_cap=rec_cap, any_order=any_order,
     )
     recs, n_pairs, n_recs, ovf = pl.pallas_call(
         kernel,
@@ -933,8 +1165,17 @@ def pallas_sweep_records(
             pltpu.VMEM((5, _SUB, _LANE), jnp.int32),
             pltpu.SMEM((_NF, _SUB, _LANE), jnp.float32),
             pltpu.SMEM((5, _SUB, _LANE), jnp.int32),
-            pltpu.VMEM((_SUB, _LANE), jnp.int32),
-            pltpu.VMEM((_REC_PER_ROW, _LANE), jnp.int32),
+        ] + (
+            [
+                pltpu.VMEM((_SREC_STAGE, _LANE), jnp.int32),
+                pltpu.VMEM((_SUB, _LANE), jnp.int32),
+            ]
+            if layout == "sparse" else
+            [
+                pltpu.VMEM((_SUB, _LANE), jnp.int32),
+                pltpu.VMEM((_REC_PER_ROW, _LANE), jnp.int32),
+            ]
+        ) + [
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],

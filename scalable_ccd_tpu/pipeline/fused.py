@@ -86,6 +86,22 @@ def _pallas_interpret() -> bool:
 #: this many VF-phase boxes (vertices + faces); see the wrapper comment.
 _AUTO_BUCKET_MIN_BOXES = 1 << 20
 
+#: smallest budget ``fused_ccd``'s auto mode will pick (16k pair rows =
+#: 128 KB — below this the buffer is noise and pow2 bucketing matters more)
+_AUTO_BUDGET_MIN = 1 << 14
+
+#: auto-budget initial guesses, as multiples of the phase's box/edge count
+#: (measured pair densities: VF 0.23-1.2x boxes, EE 0.77-3.8x edges across
+#: the bench and grid-1000 scenes — the guess avoids the retry dispatch in
+#: the common case, the exact-total retry covers the rest)
+_AUTO_VF_GUESS = 2
+_AUTO_EE_GUESS = 4
+
+
+def _pow2ceil(n: int) -> int:
+    """Smallest power of two >= n (n >= 1)."""
+    return 1 << (max(int(n), 1) - 1).bit_length()
+
 __all__ = [
     "FusedCCDResult",
     "FusedCollisionsResult",
@@ -168,11 +184,12 @@ def _sweep_compact(
     binary search maps step -> (tile, block)), so no loop iteration is
     spent on a (tile, block) with no live shifts.
 
-    Returns ``(pairs, n_pairs, overflow)``: an int32 buffer whose first
-    ``n_pairs`` rows are surviving element-id pairs, and an overflow flag
-    set if any run exceeds ``shift_cap`` (pairs beyond it are not
-    enumerated), the step cap was hit, or more than ``pair_budget``
-    survivors were found.
+    Returns ``(pairs, n_pairs, n_true, overflow)``: an int32 buffer whose
+    first ``n_pairs`` rows are surviving element-id pairs, the unclamped
+    survivor total ``n_true`` (exact when the overflow is budget-driven; a
+    lower bound when runs exceeded ``shift_cap`` or the step cap was hit,
+    since those pairs were never enumerated), and an overflow flag set in
+    any of those three cases.
     """
     W = sweep_window
     B = max(1, sweep_batch // W)  # boxes per tile
@@ -225,14 +242,14 @@ def _sweep_compact(
         (pair_budget + max(block_rows, slack), 2), jnp.int32(-(2**31) + 1)
     )
     if n_tiles == 0:  # empty shard range: nothing to sweep
-        return pairs0, jnp.int32(0), jnp.zeros((), bool)
+        return pairs0, jnp.int32(0), jnp.int32(0), jnp.zeros((), bool)
 
     def cond(st):
-        step, _, _, _ = st
+        step = st[0]
         return (step < total_steps) & (step < max_sweep_steps)
 
     def body(st):
-        step, wp, pairs, of = st
+        step, wp, nt, pairs, of = st
         # step -> (tile, block) through the exact work list: the tile is the
         # first prefix entry exceeding step (scalar binary search), the
         # block the remainder within that tile.
@@ -265,16 +282,18 @@ def _sweep_compact(
         wp, pairs, of = jax.lax.cond(
             nkeep > 0, append, lambda a: a, (wp, pairs, of)
         )
-        return step + 1, wp, pairs, of
+        return step + 1, wp, nt + nkeep, pairs, of
 
-    step, n_pairs, pairs, of = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), pairs0, jnp.zeros((), bool))
+    step, n_pairs, n_true, pairs, of = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), pairs0,
+         jnp.zeros((), bool)),
     )
     # runs longer than shift_cap or steps beyond the cap -> pairs missed
     of = of | (jnp.max(jax.lax.dynamic_slice_in_dim(
         k_padded, shard_base, n_tiles * B)) > shift_cap)
     of = of | (step < total_steps)
-    return pairs, n_pairs, of
+    return pairs, n_pairs, n_true, of
 
 
 @functools.partial(
@@ -304,11 +323,12 @@ def detect_overlaps_fused(
     :func:`scalable_ccd_tpu.broad_phase.detect_overlaps`.
     """
     k = count_major_runs(sorted_boxes, jnp.int32(0), sorted_boxes.n)
-    return _sweep_compact(
+    pairs, count, _, overflow = _sweep_compact(
         sorted_boxes, is_two_lists, k,
         pair_budget, sweep_batch, sweep_window, shift_cap, max_sweep_steps,
         axis_name=None,
     )
+    return pairs, count, overflow
 
 
 @functools.partial(
@@ -357,7 +377,7 @@ def sweep_chunks_fast(
     n = sorted_boxes.n if n_real_boxes is None else n_real_boxes
     k = count_major_runs(sorted_boxes, jnp.int32(0), sorted_boxes.n)
     for box_start in range(0, n, box_chunk_size):
-        pairs, count, overflow = _sweep_chunk_fast(
+        pairs, count, _, overflow = _sweep_chunk_fast(
             sorted_boxes, k, jnp.int32(box_start),
             is_two_lists, box_chunk_size, pair_budget,
             sweep_batch, sweep_window, shift_cap, max_sweep_steps,
@@ -423,31 +443,36 @@ def _phase(
     when not triggered).
     """
     n = sorted_boxes.n
-    if sweep_impl not in ("xla", "pallas_ap", "pallas_rec"):
+    if sweep_impl not in ("xla", "pallas_ap", "pallas_rec", "pallas_sparse"):
         raise ValueError(
             f"unknown sweep_impl {sweep_impl!r}: expected 'xla', "
-            "'pallas_ap', or 'pallas_rec' (the shifted-window kernel value "
-            "'pallas' was removed; use 'pallas_ap')"
+            "'pallas_ap', 'pallas_rec', or 'pallas_sparse' (the "
+            "shifted-window kernel value 'pallas' was removed; use "
+            "'pallas_ap')"
         )
     if solver not in ("pallas", "bfs", "dfs"):
         raise ValueError(f"unknown solver {solver!r}")
     decode = None
-    if sweep_impl == "pallas_rec":
+    if sweep_impl in ("pallas_rec", "pallas_sparse"):
         # bit-record sweep kernel: survivors leave the kernel as
         # (partner, 128-box-row) mask records (no per-survivor pops) and
         # each narrow batch decodes its own pair range from them with a
-        # monotone record cursor (decode_records_range)
+        # monotone record cursor (decode_records_range); 'pallas_sparse'
+        # emits one record per 128-lane row (cheapest per-record vector
+        # work), 'pallas_rec' the packed 16-byte layout
         if axis_name is not None:
             raise ValueError(
-                "sweep_impl='pallas_rec' is single-chip; the sharded path "
-                "re-stripes pair rows across shards, use 'pallas_ap'"
+                f"sweep_impl={sweep_impl!r} is single-chip; the sharded "
+                "path re-stripes pair rows across shards, use 'pallas_ap'"
             )
         packed, n_real = pack_boxes_ap(sorted_boxes)
         records, n_recs, n_pairs, overflow = pallas_sweep_records(
             packed, n_real, is_vf, pair_budget=pair_budget,
             interpret=_pallas_interpret(), any_order=any_order,
+            layout="sparse" if sweep_impl == "pallas_sparse" else "dense",
         )
         cum = records_pair_prefix(records, n_recs)
+        n_true = n_pairs  # record emission gates its count on the budget
         pairs = None
 
         def fetch(start, r_lo):
@@ -459,7 +484,7 @@ def _phase(
         if axis_name is None:
             # all-pairs subtile sweep kernel: no run lengths, no shift cap
             packed, n_real = pack_boxes_ap(sorted_boxes)
-            pairs, n_pairs, overflow = pallas_sweep_pairs(
+            pairs, n_pairs, n_true, overflow = pallas_sweep_pairs(
                 packed, n_real, is_vf, budget=pair_budget,
                 interpret=_pallas_interpret(), raw=True,
                 any_order=any_order,
@@ -481,7 +506,7 @@ def _phase(
             packed, n_real = pack_boxes_ap(
                 sorted_boxes, pad_to_tiles=tiles_per * S
             )
-            pairs, n_pairs, overflow = pallas_sweep_pairs(
+            pairs, n_pairs, n_true, overflow = pallas_sweep_pairs(
                 packed, n_real, is_vf, budget=pair_budget,
                 interpret=_pallas_interpret(),
                 tile0=me * tiles_per, n_tiles=tiles_per, raw=True,
@@ -497,7 +522,7 @@ def _phase(
         )
     else:
         k = count_major_runs(sorted_boxes, jnp.int32(0), n)
-        pairs, n_pairs, overflow = _sweep_compact(
+        pairs, n_pairs, n_true, overflow = _sweep_compact(
             sorted_boxes, is_vf, k,
             pair_budget, sweep_batch, sweep_window, shift_cap,
             max_sweep_steps, axis_name, slack=batch,
@@ -641,7 +666,7 @@ def _phase(
         if decode is not None:
             # hits are few; decode the compacted buffer once
             h_pairs = decode(h_pairs)
-        return toi, n_pairs, overflow, checks, capped, h_pairs, h_toi, n_hits
+        return toi, n_true, overflow, checks, capped, h_pairs, h_toi, n_hits
 
     if axis_name is None:
         def cond(st):
@@ -668,7 +693,10 @@ def _phase(
             (jnp.int32(0), toi_in, jnp.int32(0), jnp.zeros((), bool),
              jnp.int32(0)),
         )
-        return toi, n_pairs, overflow, checks, capped
+        # report the EXACT survivor total (n_true): on overflow the user
+        # (and the auto-budget retry) sees how many pairs actually exist,
+        # not how many fit the buffer
+        return toi, n_true, overflow, checks, capped
 
     # ---- multi-chip narrow: pool, balance, co-prune ----------------------
     # The reference's dead multi-GPU design leaves each device to solve its
@@ -748,11 +776,13 @@ def _phase(
          jnp.zeros((), bool)),
     )
     toi = jax.lax.pmin(toi, axis_name)
-    n_pairs = jax.lax.psum(n_pairs, axis_name)
+    # each pair is emitted by exactly one shard (a-side range shard), so
+    # the exact per-shard totals sum to the exact global total
+    n_true = jax.lax.psum(n_true, axis_name)
     overflow = jax.lax.pmax(overflow, axis_name)
     checks = jax.lax.psum(checks, axis_name)
     capped = jax.lax.pmax(capped, axis_name)
-    return toi, n_pairs, overflow, checks, capped
+    return toi, n_true, overflow, checks, capped
 
 
 def fused_ccd_core(
@@ -790,7 +820,7 @@ def fused_ccd_core(
     (``MAX_OVERLAP_CUTOFF``-like); both loops exit early once the true totals
     are consumed, so oversized budgets cost compile-time shapes, not runtime.
     """
-    if bucket_minor and sweep_impl not in ("pallas_ap", "pallas_rec"):
+    if bucket_minor and sweep_impl not in ("pallas_ap", "pallas_rec", "pallas_sparse"):
         raise ValueError(
             "bucket_minor ordering is only valid for the Pallas sweep "
             "kernels (the XLA sweep requires exactly-sorted major bounds)"
@@ -959,9 +989,17 @@ def fused_ccd(
     """Single-chip fused CCD: one dispatch for the whole two-frame query.
 
     API mirror of ``cuda::ccd`` (``ccd.cuh:26-38``) under static budgets;
-    see :func:`fused_ccd_core` for the knobs.  Check ``result.overflowed``
-    — if True, re-run with larger budgets or use the chunked
-    :func:`scalable_ccd_tpu.pipeline.ccd`.  ``validate`` fails fast on
+    see :func:`fused_ccd_core` for the knobs.
+
+    ``vf_budget``/``ee_budget`` default to ``"auto"``: a scene-proportional
+    power-of-two guess, re-dispatched once on overflow with budgets sized
+    from the sweep's EXACT survivor totals (which it reports even when the
+    buffer overflowed) — the TPU shape of the reference's memory-handler
+    sizing + overflow retry (``memory_handler.hpp:11``).  Auto results
+    never carry ``overflowed`` in practice; with explicit integer budgets,
+    check ``result.overflowed`` — if True, re-run with larger budgets or
+    use the chunked :func:`scalable_ccd_tpu.pipeline.ccd`.
+    ``validate`` fails fast on
     NaN/inf vertices and malformed connectivity before entering the jitted
     program (one device reduction + scalar fetch; pass False in per-frame
     inner loops that validated the mesh once).
@@ -1023,19 +1061,75 @@ def fused_ccd(
         n_vf_boxes = jnp.shape(vertices_t0)[0] + jnp.shape(faces)[0]
         kwargs["bucket_minor"] = bool(
             n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
-            and kwargs["sweep_impl"] in ("pallas_ap", "pallas_rec")
+            and kwargs["sweep_impl"] in ("pallas_ap", "pallas_rec", "pallas_sparse")
         )
-    if collisions is None:
+    # auto budgets: the reference sizes its pair buffers from free device
+    # memory and re-runs on overflow (``memory_handler.hpp:11``,
+    # ``broad_phase.cu`` halve/retry); here budgets are compile-time
+    # shapes, so "auto" means: start from a scene-proportional
+    # power-of-two guess (pow2 bucketing keeps recompiles to one per
+    # scene-size class), and on overflow re-dispatch ONCE with budgets
+    # sized from the EXACT survivor totals the sweep reports even when
+    # its buffer overflowed (``pallas_sweep_pairs`` ``n_true``).
+    vf_auto = kwargs.get("vf_budget", "auto") == "auto"
+    ee_auto = kwargs.get("ee_budget", "auto") == "auto"
+    if vf_auto:
+        n_vf = int(jnp.shape(vertices_t0)[0]) + int(jnp.shape(faces)[0])
+        kwargs["vf_budget"] = max(
+            _pow2ceil(_AUTO_VF_GUESS * n_vf), _AUTO_BUDGET_MIN
+        )
+    if ee_auto:
+        n_ee = int(jnp.shape(edges)[0])
+        kwargs["ee_budget"] = max(
+            _pow2ceil(_AUTO_EE_GUESS * n_ee), _AUTO_BUDGET_MIN
+        )
+
+    def _dispatch():
+        if collisions is None:
+            return _fused_ccd_jit(
+                vertices_t0, vertices_t1, edges, faces, solver=solver,
+                **kwargs
+            )
         return _fused_ccd_jit(
-            vertices_t0, vertices_t1, edges, faces, solver=solver, **kwargs
+            vertices_t0, vertices_t1, edges, faces, collect=True,
+            solver=solver, **kwargs
         )
+
+    res = _dispatch()
+    if (vf_auto or ee_auto) and bool(res.overflowed):
+        for _ in range(3):
+            grew = False
+            vf_t, ee_t = int(res.vf_total), int(res.ee_total)
+            if vf_auto and vf_t > kwargs["vf_budget"]:
+                kwargs["vf_budget"] = _pow2ceil(vf_t)
+                grew = True
+            if ee_auto and ee_t > kwargs["ee_budget"]:
+                kwargs["ee_budget"] = _pow2ceil(ee_t)
+                grew = True
+            if not grew:
+                # overflow not traceable to a pair budget (XLA sweep
+                # shift/step caps, or the records path's gated count):
+                # grow everything growable geometrically instead
+                if kwargs["sweep_impl"] == "xla":
+                    kwargs["shift_cap"] = 2 * kwargs.get(
+                        "shift_cap", 1 << 13
+                    )
+                    kwargs["max_sweep_steps"] = 2 * kwargs.get(
+                        "max_sweep_steps", 1 << 22
+                    )
+                if vf_auto:
+                    kwargs["vf_budget"] *= 2
+                if ee_auto:
+                    kwargs["ee_budget"] *= 2
+            res = _dispatch()
+            if not bool(res.overflowed):
+                break
+
+    if collisions is None:
+        return res
 
     import numpy as np
 
-    res = _fused_ccd_jit(
-        vertices_t0, vertices_t1, edges, faces, collect=True, solver=solver,
-        **kwargs
-    )
     for hits, tois, count in (
         (res.vf_hits, res.vf_hit_toi, res.vf_hit_count),
         (res.ee_hits, res.ee_hit_toi, res.ee_hit_count),

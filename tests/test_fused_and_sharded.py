@@ -151,6 +151,44 @@ class TestSharded:
         assert int(auto.vf_total) == int(off.vf_total)
         assert int(auto.ee_total) == int(off.ee_total)
 
+    def test_auto_budget_matches_explicit(self, scene):
+        """Default ("auto") budgets must reproduce the explicit-budget
+        result exactly and never report overflow."""
+        res = fused_ccd(*_args(scene), dtype=jnp.float64)  # budgets auto
+        explicit = fused_ccd(*_args(scene), vf_budget=1 << 15,
+                             ee_budget=1 << 15, dtype=jnp.float64)
+        assert not bool(res.overflowed)
+        assert float(res.toi) == float(explicit.toi)
+        assert int(res.vf_total) == int(explicit.vf_total)
+        assert int(res.ee_total) == int(explicit.ee_total)
+
+    def test_auto_budget_retry_from_exact_totals(self, scene, monkeypatch):
+        """Force a hopeless initial guess: the retry must size the second
+        dispatch from the exact survivor totals and come back
+        non-overflowed with the right result; an explicit (non-auto) tiny
+        budget must keep its overflow flag."""
+        import scalable_ccd_tpu.pipeline.fused as fused_mod
+
+        monkeypatch.setattr(fused_mod, "_AUTO_BUDGET_MIN", 8)
+        monkeypatch.setattr(fused_mod, "_AUTO_VF_GUESS", 0)
+        monkeypatch.setattr(fused_mod, "_AUTO_EE_GUESS", 0)
+        res = fused_mod.fused_ccd(*_args(scene), dtype=jnp.float64)
+        assert not bool(res.overflowed)
+        explicit = fused_mod.fused_ccd(
+            *_args(scene), vf_budget=1 << 15, ee_budget=1 << 15,
+            dtype=jnp.float64,
+        )
+        assert float(res.toi) == float(explicit.toi)
+        assert int(res.vf_total) == int(explicit.vf_total)
+        assert int(res.ee_total) == int(explicit.ee_total)
+
+        tiny = fused_mod.fused_ccd(
+            *_args(scene), vf_budget="auto", ee_budget=8, dtype=jnp.float64
+        )
+        assert bool(tiny.overflowed)
+        # exact totals are reported even for the overflowed explicit budget
+        assert int(tiny.ee_total) == int(explicit.ee_total)
+
     def test_per_shard_overflow_detected(self, scene):
         mesh = default_mesh()
         fn = make_sharded_ccd(

@@ -41,7 +41,7 @@ def test_kernel_matches_xla_sweep(is_two_lists):
     sb = sort_boxes(merge_two_lists(vb, fb)) if is_two_lists else sort_boxes(eb)
     ref = set(map(tuple, detect_overlaps(sb, is_two_lists=is_two_lists).tolist()))
     packed, n = pack_boxes_ap(sb)
-    pairs, np_, ovf = pallas_sweep_pairs(
+    pairs, np_, nt_, ovf = pallas_sweep_pairs(
         packed, n, is_two_lists, budget=1 << 15, interpret=True
     )
     assert not bool(ovf)
@@ -56,13 +56,17 @@ def test_kernel_budget_overflow_flags():
     ref = detect_overlaps(sb, is_two_lists=False)
     assert len(ref) > 64
     packed, n = pack_boxes_ap(sb)
-    pairs, np_, ovf = pallas_sweep_pairs(
+    pairs, np_, nt_, ovf = pallas_sweep_pairs(
         packed, n, False, budget=64, interpret=True
     )
     assert bool(ovf)
+    # the written count clamps at the budget, but the TRUE total stays
+    # exact (the auto-budget retry sizes its second dispatch from it)
+    assert int(np_) <= 64
+    assert int(nt_) == len(ref)
 
     # a sufficient budget on the same packing is exact
-    pairs, np_, ovf = pallas_sweep_pairs(
+    pairs, np_, nt_, ovf = pallas_sweep_pairs(
         packed, n, False, budget=1 << 15, interpret=True
     )
     assert not bool(ovf)
@@ -107,7 +111,7 @@ def test_extent_classed_packing_matches(is_two_lists):
     packed, nn = pack_boxes_ap(sb, classify_min_boxes=1)
     bf, bi, wf, wi = packed
     assert wf is not bf, "classification did not activate"
-    pairs, np_, ovf = pallas_sweep_pairs(
+    pairs, np_, nt_, ovf = pallas_sweep_pairs(
         packed, nn, is_two_lists, budget=1 << 15, interpret=True
     )
     assert not bool(ovf)
@@ -116,18 +120,19 @@ def test_extent_classed_packing_matches(is_two_lists):
     # and the unclassified packing agrees on the same scene
     packed_u, nn_u = pack_boxes_ap(sb)
     assert packed_u[2] is packed_u[0]
-    pairs_u, np_u, ovf_u = pallas_sweep_pairs(
+    pairs_u, np_u, nt_u, ovf_u = pallas_sweep_pairs(
         packed_u, nn_u, is_two_lists, budget=1 << 15, interpret=True
     )
     assert not bool(ovf_u)
     assert _pairs_set(pairs_u, np_u) == _pairs_set(pairs, np_)
 
 
+@pytest.mark.parametrize("layout", ["dense", "sparse"])
 @pytest.mark.parametrize("is_two_lists", [True, False])
-def test_records_kernel_matches_xla_sweep(is_two_lists):
-    """Bit-record emission: the (partner, a-row) mask records, decoded in
-    batches through the monotone-cursor decoder, must reproduce the exact
-    pair set of the XLA sweep."""
+def test_records_kernel_matches_xla_sweep(is_two_lists, layout):
+    """Bit-record emission (both layouts): the (partner, a-row) mask
+    records, decoded in batches through the monotone-cursor decoder, must
+    reproduce the exact pair set of the XLA sweep."""
     from scalable_ccd_tpu.ops.pallas_sweep_ap import (
         decode_records_range,
         pallas_sweep_records,
@@ -140,7 +145,8 @@ def test_records_kernel_matches_xla_sweep(is_two_lists):
     ref = set(map(tuple, detect_overlaps(sb, is_two_lists=is_two_lists).tolist()))
     packed, n = pack_boxes_ap(sb)
     recs, n_recs, n_pairs, ovf = pallas_sweep_records(
-        packed, n, is_two_lists, pair_budget=1 << 15, interpret=True
+        packed, n, is_two_lists, pair_budget=1 << 15, interpret=True,
+        layout=layout,
     )
     assert not bool(ovf)
     assert int(n_pairs) == len(ref)
@@ -161,7 +167,8 @@ def test_records_kernel_matches_xla_sweep(is_two_lists):
     assert set(got) == ref
 
 
-def test_records_budget_overflow_flags():
+@pytest.mark.parametrize("layout", ["dense", "sparse"])
+def test_records_budget_overflow_flags(layout):
     from scalable_ccd_tpu.ops.pallas_sweep_ap import pallas_sweep_records
 
     scene = triangle_soup(80, motion=0.25, seed=4)
@@ -171,11 +178,11 @@ def test_records_budget_overflow_flags():
     assert len(ref) > 64
     packed, n = pack_boxes_ap(sb)
     _, _, _, ovf = pallas_sweep_records(
-        packed, n, False, pair_budget=64, interpret=True
+        packed, n, False, pair_budget=64, interpret=True, layout=layout
     )
     assert bool(ovf)
     _, _, np_, ovf = pallas_sweep_records(
-        packed, n, False, pair_budget=1 << 15, interpret=True
+        packed, n, False, pair_budget=1 << 15, interpret=True, layout=layout
     )
     assert not bool(ovf)
     assert int(np_) == len(ref)
@@ -193,15 +200,16 @@ def test_fused_pipeline_records_sweep_matches_xla():
     )
     kw = dict(vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32)
     r_xla = fused_ccd(*args, sweep_impl="xla", **kw)
-    r_rec = fused_ccd(*args, sweep_impl="pallas_rec", **kw)
-    assert float(r_rec.toi) == pytest.approx(float(r_xla.toi), abs=1e-6)
-    assert int(r_rec.vf_total) == int(r_xla.vf_total)
-    assert int(r_rec.ee_total) == int(r_xla.ee_total)
+    for impl in ("pallas_rec", "pallas_sparse"):
+        r_rec = fused_ccd(*args, sweep_impl=impl, **kw)
+        assert float(r_rec.toi) == pytest.approx(float(r_xla.toi), abs=1e-6)
+        assert int(r_rec.vf_total) == int(r_xla.vf_total)
+        assert int(r_rec.ee_total) == int(r_xla.ee_total)
 
     # per-pair collisions through the records path (decoded-pairs buffer)
     hits_xla, hits_rec = [], []
     fused_ccd(*args, sweep_impl="xla", collisions=hits_xla, **kw)
-    fused_ccd(*args, sweep_impl="pallas_rec", collisions=hits_rec, **kw)
+    fused_ccd(*args, sweep_impl="pallas_sparse", collisions=hits_rec, **kw)
     assert sorted(hits_rec) == sorted(hits_xla)
 
 
@@ -227,12 +235,35 @@ def test_bucket_minor_ordering_matches(is_two_lists):
         jnp.all(sb.major_min[1:] >= sb.major_min[:-1])
     ), "bucket_minor produced an exactly-sorted order; test is vacuous"
     packed, n = pack_boxes_ap(sb)
-    pairs, np_, ovf = pallas_sweep_pairs(
+    pairs, np_, nt_, ovf = pallas_sweep_pairs(
         packed, n, is_two_lists, budget=1 << 15, interpret=True,
         any_order=True,
     )
     assert not bool(ovf)
     assert _pairs_set(pairs, np_) == ref
+
+    # sparse record emission under the same reordering
+    from scalable_ccd_tpu.ops.pallas_sweep_ap import (
+        decode_records_range,
+        pallas_sweep_records,
+        records_pair_prefix,
+    )
+
+    recs, n_recs, n_pairs, ovf = pallas_sweep_records(
+        packed, n, is_two_lists, pair_budget=1 << 15, interpret=True,
+        any_order=True, layout="sparse",
+    )
+    assert not bool(ovf)
+    assert int(n_pairs) == len(ref)
+    cum = records_pair_prefix(recs, n_recs)
+    got, r_lo, B = [], jnp.int32(0), 512
+    for start in range(0, int(n_pairs), B):
+        chunk, r_lo = decode_records_range(
+            packed, recs, cum, jnp.int32(start), B, n_pairs, r_lo,
+            is_two_lists,
+        )
+        got.extend(map(tuple, np.asarray(chunk[: min(B, int(n_pairs) - start)]).tolist()))
+    assert set(got) == ref
 
 
 def test_fused_pipeline_bucket_minor_matches_xla():
@@ -262,7 +293,7 @@ def test_kernel_empty_scene():
     _, eb, _ = _boxes(soup)
     sb = sort_boxes(eb)
     packed, n = pack_boxes_ap(sb)
-    pairs, np_, ovf = pallas_sweep_pairs(packed, n, False, budget=256, interpret=True)
+    pairs, np_, nt_, ovf = pallas_sweep_pairs(packed, n, False, budget=256, interpret=True)
     ref = detect_overlaps(sb, is_two_lists=False)
     assert int(np_) == len(ref)
 

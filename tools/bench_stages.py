@@ -124,7 +124,7 @@ def main():
     tic("sweep kernel vf", lambda: sweep(packed_vf, n_vf, True)[1])
     tic("sweep kernel ee", lambda: sweep(packed_ee, n_ee, False)[1])
 
-    pairs, n_pairs, _ = sweep(packed_vf, n_vf, True)
+    pairs, n_pairs, _, _ = sweep(packed_vf, n_vf, True)
     npp = int(jax.device_get(n_pairs))
     Q = 1 << max((npp - 1).bit_length(), 10)
 
