@@ -14,6 +14,8 @@ from scalable_ccd_tpu.narrow_phase.types import (
     gather_ee_queries,
     gather_vf_queries,
     numerical_error_bound,
+    pack_edge_table,
+    pack_face_table,
 )
 
 __all__ = [
@@ -27,4 +29,6 @@ __all__ = [
     "gather_ee_queries",
     "gather_vf_queries",
     "numerical_error_bound",
+    "pack_edge_table",
+    "pack_face_table",
 ]

@@ -28,6 +28,8 @@ __all__ = [
     "CCDQueries",
     "gather_vf_queries",
     "gather_ee_queries",
+    "pack_face_table",
+    "pack_edge_table",
     "domain_corners",
     "compute_tolerance",
     "numerical_error_bound",
@@ -72,6 +74,31 @@ def concat_frames(vertices_t0: jax.Array, vertices_t1: jax.Array, dtype=None):
     return jnp.concatenate([v0, v1], axis=1)
 
 
+def pack_face_table(vcat: jax.Array, faces: jax.Array) -> jax.Array:
+    """``(nf, 18)`` both-frame endpoints of every face's three vertices.
+
+    Row gathers cost ~10 ns/row regardless of width (PERF.md), so
+    pre-gathering each face's vertex data ONCE turns the per-query cost of
+    :func:`gather_vf_queries` from 4 gathers (face row + 3 vertex rows)
+    into 1 table row.  Pays for itself as soon as the candidate count
+    exceeds the face count — always true on contact-rich scenes — and the
+    table is built once per phase, outside the narrow-batch loop.
+    """
+    f = jnp.asarray(faces, jnp.int32)
+    return jnp.concatenate([vcat[f[:, 0]], vcat[f[:, 1]], vcat[f[:, 2]]],
+                           axis=1)
+
+
+def pack_edge_table(vcat: jax.Array, edges: jax.Array) -> jax.Array:
+    """``(ne, 12)`` both-frame endpoints of every edge's two vertices.
+
+    Same one-row-per-query trick as :func:`pack_face_table` for the
+    edge-edge phase: 1 table row per query side instead of 3 gathers.
+    """
+    e = jnp.asarray(edges, jnp.int32)
+    return jnp.concatenate([vcat[e[:, 0]], vcat[e[:, 1]]], axis=1)
+
+
 def gather_vf_queries(
     vertices_t0: jax.Array,
     vertices_t1: jax.Array,
@@ -79,6 +106,7 @@ def gather_vf_queries(
     overlaps: jax.Array,
     dtype=None,
     vcat: jax.Array = None,
+    ftab: jax.Array = None,
 ) -> CCDQueries:
     """Gather vertex-face query endpoints from candidate pairs.
 
@@ -86,18 +114,25 @@ def gather_vf_queries(
     the reference's ``add_data<true>`` kernel (``narrow_phase.cu:41-53``) as a
     pure gather.  Out-of-range ids (chunk padding) are clamped; padded rows
     must be masked downstream.  ``vcat`` (from :func:`concat_frames`)
-    halves the row-gather count: 5 gathers instead of 9.
+    halves the row-gather count; ``ftab`` (from :func:`pack_face_table`)
+    drops it to 2 gathers per query — pass both when calling repeatedly
+    (e.g. per narrow batch).
     """
     if vcat is None:
         vcat = concat_frames(vertices_t0, vertices_t1, dtype)
-    f = jnp.asarray(faces, jnp.int32)
     vi = jnp.clip(overlaps[:, 0], 0, vcat.shape[0] - 1)
-    fi = jnp.clip(overlaps[:, 1], 0, f.shape[0] - 1)
-    fv = f[fi]  # (Q, 3)
     p0 = vcat[vi]
-    p1 = vcat[fv[:, 0]]
-    p2 = vcat[fv[:, 1]]
-    p3 = vcat[fv[:, 2]]
+    if ftab is None:
+        f = jnp.asarray(faces, jnp.int32)
+        fi = jnp.clip(overlaps[:, 1], 0, f.shape[0] - 1)
+        fv = f[fi]  # (Q, 3)
+        p1 = vcat[fv[:, 0]]
+        p2 = vcat[fv[:, 1]]
+        p3 = vcat[fv[:, 2]]
+    else:
+        fi = jnp.clip(overlaps[:, 1], 0, ftab.shape[0] - 1)
+        frow = ftab[fi]  # (Q, 18)
+        p1, p2, p3 = frow[:, 0:6], frow[:, 6:12], frow[:, 12:18]
     return CCDQueries(
         p0s=p0[:, 0:3], p1s=p1[:, 0:3], p2s=p2[:, 0:3], p3s=p3[:, 0:3],
         p0e=p0[:, 3:6], p1e=p1[:, 3:6], p2e=p2[:, 3:6], p3e=p3[:, 3:6],
@@ -111,22 +146,31 @@ def gather_ee_queries(
     overlaps: jax.Array,
     dtype=None,
     vcat: jax.Array = None,
+    etab: jax.Array = None,
 ) -> CCDQueries:
     """Gather edge-edge query endpoints from candidate (edgeA, edgeB) pairs.
 
     The reference's ``add_data<false>`` kernel (``narrow_phase.cu:54-66``);
-    6 row gathers instead of 10 with ``vcat`` (see :func:`concat_frames`).
+    6 row gathers per query with ``vcat`` (see :func:`concat_frames`), 2
+    with ``etab`` (see :func:`pack_edge_table`).
     """
     if vcat is None:
         vcat = concat_frames(vertices_t0, vertices_t1, dtype)
-    e = jnp.asarray(edges, jnp.int32)
-    ea = jnp.clip(overlaps[:, 0], 0, e.shape[0] - 1)
-    eb = jnp.clip(overlaps[:, 1], 0, e.shape[0] - 1)
-    a, b = e[ea], e[eb]
-    p0 = vcat[a[:, 0]]
-    p1 = vcat[a[:, 1]]
-    p2 = vcat[b[:, 0]]
-    p3 = vcat[b[:, 1]]
+    if etab is None:
+        e = jnp.asarray(edges, jnp.int32)
+        ea = jnp.clip(overlaps[:, 0], 0, e.shape[0] - 1)
+        eb = jnp.clip(overlaps[:, 1], 0, e.shape[0] - 1)
+        a, b = e[ea], e[eb]
+        p0 = vcat[a[:, 0]]
+        p1 = vcat[a[:, 1]]
+        p2 = vcat[b[:, 0]]
+        p3 = vcat[b[:, 1]]
+    else:
+        ea = jnp.clip(overlaps[:, 0], 0, etab.shape[0] - 1)
+        eb = jnp.clip(overlaps[:, 1], 0, etab.shape[0] - 1)
+        arow, brow = etab[ea], etab[eb]  # (Q, 12) each
+        p0, p1 = arow[:, 0:6], arow[:, 6:12]
+        p2, p3 = brow[:, 0:6], brow[:, 6:12]
     return CCDQueries(
         p0s=p0[:, 0:3], p1s=p1[:, 0:3], p2s=p2[:, 0:3], p3s=p3[:, 0:3],
         p0e=p0[:, 3:6], p1e=p1[:, 3:6], p2e=p2[:, 3:6], p3e=p3[:, 3:6],

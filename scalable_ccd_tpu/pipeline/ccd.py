@@ -115,9 +115,17 @@ def _partial_ccd(
     mem = config.memory.scaled()
     buckets = mem.query_buckets
     dtype = config.jnp_dtype
-    from scalable_ccd_tpu.narrow_phase import concat_frames
+    from scalable_ccd_tpu.narrow_phase import (
+        concat_frames,
+        pack_edge_table,
+        pack_face_table,
+    )
 
-    vcat = concat_frames(v0, v1, dtype)  # shared by every narrow batch
+    # shared by every narrow batch: 2 row gathers per query
+    # (concat_frames / pack_face_table docstrings)
+    vcat = concat_frames(v0, v1, dtype)
+    ftab = pack_face_table(vcat, faces) if is_vf else None
+    etab = None if is_vf else pack_edge_table(vcat, edges)
 
     if config.broad_impl == "fast":
         from scalable_ccd_tpu.pipeline.fused import sweep_chunks_fast
@@ -144,11 +152,13 @@ def _partial_ccd(
             valid = jnp.arange(b) < n
             if is_vf:
                 q = gather_vf_queries(
-                    v0, v1, faces, overlaps, dtype=dtype, vcat=vcat
+                    v0, v1, faces, overlaps, dtype=dtype, vcat=vcat,
+                    ftab=ftab,
                 )
             else:
                 q = gather_ee_queries(
-                    v0, v1, edges, overlaps, dtype=dtype, vcat=vcat
+                    v0, v1, edges, overlaps, dtype=dtype, vcat=vcat,
+                    etab=etab,
                 )
             from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
 

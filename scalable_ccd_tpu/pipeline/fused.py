@@ -60,6 +60,8 @@ from scalable_ccd_tpu.geometry.aabb import (
 )
 from scalable_ccd_tpu.narrow_phase import (
     concat_frames,
+    pack_edge_table,
+    pack_face_table,
     find_roots,
     find_roots_bfs,
     gather_ee_queries,
@@ -537,9 +539,14 @@ def _phase(
             )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
-    # one (n, 6) frame concat shared by every narrow batch: halves the
-    # per-batch row-gather count (concat_frames docstring)
+    # frame concat + per-element endpoint table shared by every narrow
+    # batch: 2 row gathers per query instead of 5 (VF) / 6 (EE)
+    # (concat_frames / pack_face_table docstrings)
     vcat = concat_frames(v0, v1, dtype)
+    if is_vf:
+        ftab = pack_face_table(vcat, faces)
+    else:
+        etab = pack_edge_table(vcat, edges)
 
     def run_solver(chunk, keep, toi, ms_kw=None, max_iter=None, zero_ok=None):
         """Solve one dense candidate batch; returns
@@ -554,9 +561,13 @@ def _phase(
         if decode is not None:
             chunk = decode(chunk)
         if is_vf:
-            q = gather_vf_queries(v0, v1, faces, chunk, dtype=dtype, vcat=vcat)
+            q = gather_vf_queries(
+                v0, v1, faces, chunk, dtype=dtype, vcat=vcat, ftab=ftab
+            )
         else:
-            q = gather_ee_queries(v0, v1, edges, chunk, dtype=dtype, vcat=vcat)
+            q = gather_ee_queries(
+                v0, v1, edges, chunk, dtype=dtype, vcat=vcat, etab=etab
+            )
         if solver == "pallas":
             out = pallas_find_roots(
                 q, keep, is_vf, toi, ms_, tolerance,

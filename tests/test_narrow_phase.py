@@ -261,6 +261,43 @@ class TestGather:
         )
         assert float(res.toi) == pytest.approx(0.5, abs=1e-3)
 
+    def test_packed_tables_match_direct_gathers(self):
+        """pack_face_table/pack_edge_table-based gathers must reproduce the
+        direct per-query gathers bit-for-bit on random candidate sets."""
+        from scalable_ccd_tpu.narrow_phase import (
+            concat_frames,
+            pack_edge_table,
+            pack_face_table,
+        )
+
+        rng = np.random.default_rng(11)
+        nv, nf, ne, q = 40, 25, 30, 64
+        v0 = rng.normal(size=(nv, 3))
+        v1 = v0 + 0.1 * rng.normal(size=(nv, 3))
+        faces = rng.integers(0, nv, size=(nf, 3)).astype(np.int32)
+        edges = rng.integers(0, nv, size=(ne, 2)).astype(np.int32)
+        vcat = concat_frames(v0, v1, jnp.float32)
+
+        ovf = jnp.asarray(np.stack([
+            rng.integers(0, nv, q), rng.integers(0, nf, q)
+        ], 1).astype(np.int32))
+        a = gather_vf_queries(v0, v1, faces, ovf, dtype=jnp.float32)
+        b = gather_vf_queries(
+            v0, v1, faces, ovf, dtype=jnp.float32, vcat=vcat,
+            ftab=pack_face_table(vcat, faces),
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        ove = jnp.asarray(rng.integers(0, ne, size=(q, 2)).astype(np.int32))
+        a = gather_ee_queries(v0, v1, edges, ove, dtype=jnp.float32)
+        b = gather_ee_queries(
+            v0, v1, edges, ove, dtype=jnp.float32, vcat=vcat,
+            etab=pack_edge_table(vcat, edges),
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
 
 def test_ee_tolerance_matches_reference_corner_lists():
     """Independent check of the EE tolerance quirk (root_finder.cu:69-88):
