@@ -91,6 +91,13 @@ _SREC_STAGE = 32
 _SREC_FOLD_ROWS = _SREC_STAGE // _REC_PER_ROW  # dense rows per fold (2)
 _SREC_FOLDS = _SUB // _SREC_FOLD_ROWS  # fold slots per flush buffer (4)
 
+#: MXU-placed emission ("mxu" layout): the staging buffer must hold a
+#: partially filled 32-record block (up to 31 rows) plus one whole
+#: 8-partner window's records (up to 64) placed in a single one-hot
+#: matmul — 96 rows; completed 32-row blocks fold out and the buffer
+#: shifts down by a static roll.
+_MXU_STAGE = 96
+
 # f32 field plane order.  The last five exist on the partner side only
 # (zeros on a permuted a-side): _FWDMIN = suffix-min of major_min over the
 # stream order — the EXACT stream-termination bound for ANY box ordering
@@ -261,11 +268,11 @@ def _sweep_kernel(
     if emit == "records":
         (recs_out, np_out, nrec_out, ovf_out,
          a_f, a_i, w_f, w_i, stage, astage, state, sems) = refs
-    elif emit == "sparse":
+    elif emit in ("sparse", "mxu"):
         (recs_out, np_out, nrec_out, ovf_out,
          a_f, a_i, w_f, w_i, stage, foldbuf, state, sems) = refs
 
-        def fold_stage(fidx):
+        def fold_stage(fidx, win=0):
             # Butterfly fold: the (32, 128) staging block (one record per
             # row, lanes 0:8, rest stale) -> 2 dense 16-record rows, in 4
             # static roll+select steps.  Step k pairs rows at pitch 2^k:
@@ -285,7 +292,9 @@ def _sweep_kernel(
             f_lane = jax.lax.broadcasted_iota(
                 jnp.int32, (_SREC_STAGE, _LANE), 1
             )
-            x = stage[:]
+            # ``win`` selects a completed 32-row block ("mxu" places up to
+            # 64 records at once, so two blocks can complete in one step)
+            x = stage[_SREC_STAGE * win:_SREC_STAGE * (win + 1)]
             for k in range(4):  # pitch 1,2,4,8 rows; width 8,16,..,64 lanes
                 pitch = 1 << k
                 width = _REC_WORDS << k
@@ -670,6 +679,164 @@ def _sweep_kernel(
                                             dma.wait()
                 return
 
+            if emit == "mxu":
+                # MXU-placed bit records: the whole 8-partner window's
+                # records (one per (partner, subtile-row) with survivors,
+                # <= 64) are built and PLACED IN ONE MATMUL — the branch
+                # count per window step is ~5 flat, vs ~2 per record for
+                # the select-placed "sparse" layout (scalar branches at
+                # ~50-100 cycles are the per-record cost driver, PERF.md).
+                #
+                #   1. mask-pack all 64 candidate rows at once on the
+                #      flattened (64, 128) keep plane (5 roll-adds + 3
+                #      roll-selects, shared by every row);
+                #   2. halfword-encode each row (lanes 0:6 = low 16 bits
+                #      of the 6 record words, lanes 8:14 = high bits,
+                #      lane 15 = live sentinel) so the f32 MXU pass is
+                #      EXACT (values < 2^16 << 2^24);
+                #   3. ranks by a log-step sublane prefix sum; dst row =
+                #      write-base + rank (dead rows dst=-1);
+                #   4. one-hot D[s, d] = (dst_s == d) and a single
+                #      dot_general contracting s places every record:
+                #      out[d, :] = the unique record with dst d;
+                #   5. recombine halfwords, select placed rows into the
+                #      96-row staging ring, fold completed 32-row blocks
+                #      (<= 2 per step) with the shared butterfly, DMA the
+                #      fold buffer every 4th block, shift the ring down
+                #      by a static roll.
+                n64 = UB * _SUB
+                sub64 = jax.lax.broadcasted_iota(jnp.int32, (n64, _LANE), 0)
+                lane64 = jax.lax.broadcasted_iota(jnp.int32, (n64, _LANE), 1)
+                s96 = jax.lax.broadcasted_iota(
+                    jnp.int32, (_MXU_STAGE, _LANE), 0
+                )
+                l96 = jax.lax.broadcasted_iota(
+                    jnp.int32, (_MXU_STAGE, _LANE), 1
+                )
+
+                @pl.when(total > 0)
+                def _(sub64=sub64, lane64=lane64, s96=s96, l96=l96):
+                    K = keep.reshape(n64, _LANE)
+                    live = jnp.broadcast_to(
+                        jnp.max(jnp.where(K, 1, 0), axis=1, keepdims=True),
+                        (n64, _LANE),
+                    )
+                    nrec = jnp.sum(
+                        jnp.max(jnp.where(K, 1, 0), axis=1, keepdims=True),
+                        dtype=jnp.int32,
+                    )
+                    cc0 = state[1]
+                    rc0 = state[0]
+                    fits = (cc0 + total <= jnp.int32(budget)) & (
+                        rc0 + nrec <= jnp.int32(rec_cap)
+                    )
+                    state[2] = jnp.where(fits, state[2], 1)
+
+                    @pl.when(fits)
+                    def _(live=live, nrec=nrec, cc0=cc0, rc0=rc0):
+                        state[1] = cc0 + total
+                        # 1. mask words, all rows in parallel
+                        shl = jnp.int32(1) << (lane64 % 32)
+                        vr = jnp.where(K, shl, 0)
+                        for st_ in (1, 2, 4, 8, 16):
+                            vr = vr + pltpu.roll(vr, _LANE - st_, axis=1)
+                        u64 = vr
+                        for g in range(1, 4):
+                            u64 = jnp.where(
+                                lane64 == g,
+                                pltpu.roll(vr, (g - 32 * g) % _LANE, axis=1),
+                                u64,
+                            )
+                        u64 = jnp.where(lane64 == 4, j + sub64 // _SUB, u64)
+                        u64 = jnp.where(
+                            lane64 == 5, t * _SUB + sub64 % _SUB, u64
+                        )
+                        # 2. halfword planes + live sentinel
+                        lo = u64 & 0xFFFF
+                        hi = (u64 >> 16) & 0xFFFF
+                        rh = jnp.where(lane64 < 6, lo, 0)
+                        rh = rh + jnp.where(
+                            (lane64 >= _REC_WORDS)
+                            & (lane64 < _REC_WORDS + 6),
+                            pltpu.roll(hi, _REC_WORDS, axis=1),
+                            0,
+                        )
+                        rh = rh + jnp.where(lane64 == 15, live, 0)
+                        rf = rh.astype(jnp.float32)
+                        # 3. ranks (inclusive prefix, then exclusive)
+                        inc = live
+                        for st_ in (1, 2, 4, 8, 16, 32):
+                            inc = inc + jnp.where(
+                                sub64 >= st_,
+                                pltpu.roll(inc, st_, axis=0),
+                                0,
+                            )
+                        dst = jnp.where(
+                            live > 0, rc0 % _SREC_STAGE + inc - live, -1
+                        )
+                        # 4. one-hot placement matmul (exact in f32)
+                        df = (lane64 == dst).astype(jnp.float32)
+                        out = jax.lax.dot_general(
+                            df, rf,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (128, 128): row = dst, lanes = halfword rec
+                        oi = out[:_MXU_STAGE].astype(jnp.int32)
+                        # 5. recombine + select into the staging ring
+                        comb = jnp.where(
+                            l96 < 6,
+                            oi | (
+                                pltpu.roll(oi, _LANE - _REC_WORDS, axis=1)
+                                << 16
+                            ),
+                            0,
+                        )
+                        hit = jnp.broadcast_to(
+                            oi[:, 15:16] > 0, (_MXU_STAGE, _LANE)
+                        )
+                        stage[:] = jnp.where(hit, comb, stage[:])
+                        rc = rc0 + nrec
+                        state[0] = rc
+                        k0 = rc0 // _SREC_STAGE
+                        nf = rc // _SREC_STAGE - k0
+
+                        def fold_k(c):
+                            """Fold completed block c (rows 32c:32c+32)
+                            as global block k0 + c, flushing the fold
+                            buffer when it fills its 4th slot."""
+                            fold_stage((k0 + c) % _SREC_FOLDS, win=c)
+                            k = k0 + c + 1
+
+                            @pl.when(k % _SREC_FOLDS == 0)
+                            def _():
+                                row8 = pl.multiple_of(
+                                    (k // _SREC_FOLDS - 1) * _SUB, _SUB
+                                )
+                                dma = pltpu.make_async_copy(
+                                    foldbuf,
+                                    recs_out.at[pl.ds(row8, _SUB), :],
+                                    sems.at[2],
+                                )
+                                dma.start()
+                                dma.wait()
+
+                        @pl.when(nf == 1)
+                        def _():
+                            fold_k(0)
+                            stage[:] = pltpu.roll(
+                                stage[:], _MXU_STAGE - _SREC_STAGE, axis=0
+                            )
+
+                        @pl.when(nf == 2)
+                        def _():
+                            fold_k(0)
+                            fold_k(1)
+                            stage[:] = pltpu.roll(
+                                stage[:], _MXU_STAGE - 2 * _SREC_STAGE,
+                                axis=0,
+                            )
+                return
+
             if emit == "sparse":
                 # Sparse-staged bit records (PERF.md round-3 design): one
                 # record per (partner, subtile-row) with survivors, built in
@@ -870,11 +1037,13 @@ def _sweep_kernel(
         ovf_out[0, 0] = 0
         return
 
-    if emit == "sparse":
+    if emit in ("sparse", "mxu"):
         # final flush: fold the partial staging block (if any — its rows
         # past the record tail fold in as garbage records, masked by the
-        # record count downstream), then write the whole fold buffer once
-        # more when it holds records not yet DMA'd
+        # record count downstream; for "mxu" the partial block sits at
+        # ring rows [0, rc % 32) after the step-end shifts), then write
+        # the whole fold buffer once more when it holds records not yet
+        # DMA'd
         @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
         def _():
             rc = state[0]
@@ -1110,6 +1279,11 @@ def pallas_sweep_records(
       record pays a 16-way slot placement and every 16 records a group
       fold — measured ~1 us/record, slower than pops; kept as a tested
       alternative.
+    - ``"mxu"``: the whole 8-partner window's records (<= 64) placed by
+      ONE one-hot ``dot_general`` on halfword-encoded rows (exact in
+      f32) — ~5 scalar branches per window step instead of ~2 per
+      record; built for congested scenes where emission is the frame's
+      dominant cost.
 
     Returns ``(records, n_records, n_pairs, overflow)`` where ``records``
     is ``(R, 8)`` int32 with valid rows
@@ -1132,9 +1306,11 @@ def pallas_sweep_records(
     # flush (both layouts land the same dense 16-record/row HBM format)
     rec_rows = (-(-rec_budget // _REC_STAGE) + 1) * _SUB
 
+    if layout not in ("sparse", "dense", "mxu"):
+        raise ValueError(f"unknown record layout {layout!r}")
     kernel = functools.partial(
         _sweep_kernel, is_two_lists=is_two_lists, budget=pair_budget,
-        emit="sparse" if layout == "sparse" else "records",
+        emit="records" if layout == "dense" else layout,
         rec_cap=rec_cap, any_order=any_order,
     )
     recs, n_pairs, n_recs, ovf = pl.pallas_call(
@@ -1167,10 +1343,16 @@ def pallas_sweep_records(
             pltpu.SMEM((5, _SUB, _LANE), jnp.int32),
         ] + (
             [
-                pltpu.VMEM((_SREC_STAGE, _LANE), jnp.int32),
+                pltpu.VMEM(
+                    (
+                        _MXU_STAGE if layout == "mxu" else _SREC_STAGE,
+                        _LANE,
+                    ),
+                    jnp.int32,
+                ),
                 pltpu.VMEM((_SUB, _LANE), jnp.int32),
             ]
-            if layout == "sparse" else
+            if layout in ("sparse", "mxu") else
             [
                 pltpu.VMEM((_SUB, _LANE), jnp.int32),
                 pltpu.VMEM((_REC_PER_ROW, _LANE), jnp.int32),

@@ -104,7 +104,7 @@ def make_sharded_ccd(
             # shapes are static at trace time, so auto resolves here
             bm = bool(
                 v0.shape[0] + faces.shape[0] >= _AUTO_BUCKET_MIN_BOXES
-                and sweep_impl in ("pallas_ap", "pallas_rec", "pallas_sparse")
+                and sweep_impl != "xla"
             )
         return fused_ccd_core(
             v0,

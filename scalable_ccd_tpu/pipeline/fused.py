@@ -445,17 +445,19 @@ def _phase(
     when not triggered).
     """
     n = sorted_boxes.n
-    if sweep_impl not in ("xla", "pallas_ap", "pallas_rec", "pallas_sparse"):
+    if sweep_impl not in (
+        "xla", "pallas_ap", "pallas_rec", "pallas_sparse", "pallas_mxu"
+    ):
         raise ValueError(
             f"unknown sweep_impl {sweep_impl!r}: expected 'xla', "
-            "'pallas_ap', 'pallas_rec', or 'pallas_sparse' (the "
+            "'pallas_ap', 'pallas_rec', 'pallas_sparse', or 'pallas_mxu' (the "
             "shifted-window kernel value 'pallas' was removed; use "
             "'pallas_ap')"
         )
     if solver not in ("pallas", "bfs", "dfs"):
         raise ValueError(f"unknown solver {solver!r}")
     decode = None
-    if sweep_impl in ("pallas_rec", "pallas_sparse"):
+    if sweep_impl in ("pallas_rec", "pallas_sparse", "pallas_mxu"):
         # bit-record sweep kernel: survivors leave the kernel as
         # (partner, 128-box-row) mask records (no per-survivor pops) and
         # each narrow batch decodes its own pair range from them with a
@@ -471,7 +473,9 @@ def _phase(
         records, n_recs, n_pairs, overflow = pallas_sweep_records(
             packed, n_real, is_vf, pair_budget=pair_budget,
             interpret=_pallas_interpret(), any_order=any_order,
-            layout="sparse" if sweep_impl == "pallas_sparse" else "dense",
+            layout={"pallas_sparse": "sparse", "pallas_mxu": "mxu"}.get(
+                sweep_impl, "dense"
+            ),
         )
         cum = records_pair_prefix(records, n_recs)
         n_true = n_pairs  # record emission gates its count on the budget
@@ -831,7 +835,7 @@ def fused_ccd_core(
     (``MAX_OVERLAP_CUTOFF``-like); both loops exit early once the true totals
     are consumed, so oversized budgets cost compile-time shapes, not runtime.
     """
-    if bucket_minor and sweep_impl not in ("pallas_ap", "pallas_rec", "pallas_sparse"):
+    if bucket_minor and sweep_impl == "xla":
         raise ValueError(
             "bucket_minor ordering is only valid for the Pallas sweep "
             "kernels (the XLA sweep requires exactly-sorted major bounds)"
@@ -1072,7 +1076,7 @@ def fused_ccd(
         n_vf_boxes = jnp.shape(vertices_t0)[0] + jnp.shape(faces)[0]
         kwargs["bucket_minor"] = bool(
             n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
-            and kwargs["sweep_impl"] in ("pallas_ap", "pallas_rec", "pallas_sparse")
+            and kwargs["sweep_impl"] != "xla"
         )
     # auto budgets: the reference sizes its pair buffers from free device
     # memory and re-runs on overflow (``memory_handler.hpp:11``,

@@ -127,7 +127,7 @@ def test_extent_classed_packing_matches(is_two_lists):
     assert _pairs_set(pairs_u, np_u) == _pairs_set(pairs, np_)
 
 
-@pytest.mark.parametrize("layout", ["dense", "sparse"])
+@pytest.mark.parametrize("layout", ["dense", "sparse", "mxu"])
 @pytest.mark.parametrize("is_two_lists", [True, False])
 def test_records_kernel_matches_xla_sweep(is_two_lists, layout):
     """Bit-record emission (both layouts): the (partner, a-row) mask
@@ -167,7 +167,7 @@ def test_records_kernel_matches_xla_sweep(is_two_lists, layout):
     assert set(got) == ref
 
 
-@pytest.mark.parametrize("layout", ["dense", "sparse"])
+@pytest.mark.parametrize("layout", ["dense", "sparse", "mxu"])
 def test_records_budget_overflow_flags(layout):
     from scalable_ccd_tpu.ops.pallas_sweep_ap import pallas_sweep_records
 
@@ -200,7 +200,7 @@ def test_fused_pipeline_records_sweep_matches_xla():
     )
     kw = dict(vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32)
     r_xla = fused_ccd(*args, sweep_impl="xla", **kw)
-    for impl in ("pallas_rec", "pallas_sparse"):
+    for impl in ("pallas_rec", "pallas_sparse", "pallas_mxu"):
         r_rec = fused_ccd(*args, sweep_impl=impl, **kw)
         assert float(r_rec.toi) == pytest.approx(float(r_xla.toi), abs=1e-6)
         assert int(r_rec.vf_total) == int(r_xla.vf_total)
@@ -249,21 +249,22 @@ def test_bucket_minor_ordering_matches(is_two_lists):
         records_pair_prefix,
     )
 
-    recs, n_recs, n_pairs, ovf = pallas_sweep_records(
-        packed, n, is_two_lists, pair_budget=1 << 15, interpret=True,
-        any_order=True, layout="sparse",
-    )
-    assert not bool(ovf)
-    assert int(n_pairs) == len(ref)
-    cum = records_pair_prefix(recs, n_recs)
-    got, r_lo, B = [], jnp.int32(0), 512
-    for start in range(0, int(n_pairs), B):
-        chunk, r_lo = decode_records_range(
-            packed, recs, cum, jnp.int32(start), B, n_pairs, r_lo,
-            is_two_lists,
+    for layout in ("sparse", "mxu"):
+        recs, n_recs, n_pairs, ovf = pallas_sweep_records(
+            packed, n, is_two_lists, pair_budget=1 << 15, interpret=True,
+            any_order=True, layout=layout,
         )
-        got.extend(map(tuple, np.asarray(chunk[: min(B, int(n_pairs) - start)]).tolist()))
-    assert set(got) == ref
+        assert not bool(ovf)
+        assert int(n_pairs) == len(ref)
+        cum = records_pair_prefix(recs, n_recs)
+        got, r_lo, B = [], jnp.int32(0), 512
+        for start in range(0, int(n_pairs), B):
+            chunk, r_lo = decode_records_range(
+                packed, recs, cum, jnp.int32(start), B, n_pairs, r_lo,
+                is_two_lists,
+            )
+            got.extend(map(tuple, np.asarray(chunk[: min(B, int(n_pairs) - start)]).tolist()))
+        assert set(got) == ref
 
 
 def test_fused_pipeline_bucket_minor_matches_xla():

@@ -21,7 +21,7 @@ from scalable_ccd_tpu.pipeline.fused import fused_ccd
 def main():
     args = sys.argv[1:]
     grid = int(args[0]) if args else 1000
-    impls = args[1:] or ["pallas_ap", "pallas_sparse"]
+    impls = args[1:] or ["pallas_ap", "pallas_sparse", "pallas_mxu"]
     print("devices:", jax.devices(), flush=True)
     scene = cloth_on_sphere(grid_n=grid, sphere_subdiv=4, drop=0.25)
     v0 = jnp.asarray(scene.vertices_t0, jnp.float32)

@@ -69,7 +69,7 @@ def main():
             jax.device_get(pairs[:n_p])).tolist()))
         print(f"{name}: {n_p} pairs (raw path)", flush=True)
 
-        for layout in ("dense", "sparse"):
+        for layout in ("dense", "sparse", "mxu"):
             recs, n_r, n_pr, ovf = pallas_sweep_records(
                 packed, n, two, pair_budget=budget, layout=layout
             )
@@ -92,7 +92,7 @@ def main():
         t_raw = timeit(lambda: jax.device_get(
             pallas_sweep_pairs(packed, n, two, budget=budget, raw=True)[1]))
         line = f"{name}: raw={t_raw:.1f} ms"
-        for layout in ("dense", "sparse"):
+        for layout in ("dense", "sparse", "mxu"):
             t_rec = timeit(lambda layout=layout: jax.device_get(
                 pallas_sweep_records(
                     packed, n, two, pair_budget=budget, layout=layout
