@@ -459,31 +459,62 @@ def _phase(
     decode = None
     if sweep_impl in ("pallas_rec", "pallas_sparse", "pallas_mxu"):
         # bit-record sweep kernel: survivors leave the kernel as
-        # (partner, 128-box-row) mask records (no per-survivor pops) and
-        # each narrow batch decodes its own pair range from them with a
-        # monotone record cursor (decode_records_range); 'pallas_sparse'
-        # emits one record per 128-lane row (cheapest per-record vector
-        # work), 'pallas_rec' the packed 16-byte layout
-        if axis_name is not None:
-            raise ValueError(
-                f"sweep_impl={sweep_impl!r} is single-chip; the sharded "
-                "path re-stripes pair rows across shards, use 'pallas_ap'"
-            )
-        packed, n_real = pack_boxes_ap(sorted_boxes)
-        records, n_recs, n_pairs, overflow = pallas_sweep_records(
-            packed, n_real, is_vf, pair_budget=pair_budget,
-            interpret=_pallas_interpret(), any_order=any_order,
-            layout={"pallas_sparse": "sparse", "pallas_mxu": "mxu"}.get(
-                sweep_impl, "dense"
-            ),
+        # (partner, 128-box-row) mask records (no per-survivor pops);
+        # 'pallas_sparse' emits one record per 128-lane row,
+        # 'pallas_mxu' places a whole window's records with one one-hot
+        # matmul, 'pallas_rec' the packed per-record layout
+        layout = {"pallas_sparse": "sparse", "pallas_mxu": "mxu"}.get(
+            sweep_impl, "dense"
         )
-        cum = records_pair_prefix(records, n_recs)
-        n_true = n_pairs  # record emission gates its count on the budget
-        pairs = None
+        if axis_name is None:
+            packed, n_real = pack_boxes_ap(sorted_boxes)
+            records, n_recs, n_pairs, overflow = pallas_sweep_records(
+                packed, n_real, is_vf, pair_budget=pair_budget,
+                interpret=_pallas_interpret(), any_order=any_order,
+                layout=layout,
+            )
+            cum = records_pair_prefix(records, n_recs)
+            n_true = n_pairs  # record emission gates its count on budget
+            pairs = None
 
-        def fetch(start, r_lo):
-            return decode_records_range(
-                packed, records, cum, start, batch, n_pairs, r_lo, is_vf
+            def fetch(start, r_lo):
+                # each narrow batch decodes its own pair range with a
+                # monotone record cursor — no budget-sized decode at all
+                return decode_records_range(
+                    packed, records, cum, start, batch, n_pairs, r_lo,
+                    is_vf,
+                )
+        else:
+            # sharded records sweep: same a-side tile range shard as the
+            # pairs kernel; each shard then decodes ITS OWN records to
+            # element-id pairs in one shot (records reference global
+            # sorted positions, so the replicated packed planes decode
+            # them identically on any shard) and the pooled/striped
+            # narrow loop below runs unchanged on final-id rows.  One
+            # budget-sized decode per shard per phase (~10 ns/row of
+            # gathers) buys kernel-speed emission on every chip.
+            from scalable_ccd_tpu.ops.pallas_sweep_ap import _TILE
+
+            S = jax.lax.axis_size(axis_name)
+            me = jax.lax.axis_index(axis_name)
+            tiles_total = -(-n // _TILE)
+            tiles_per = -(-tiles_total // S)
+            packed, n_real = pack_boxes_ap(
+                sorted_boxes, pad_to_tiles=tiles_per * S
+            )
+            records, n_recs, n_pairs, overflow = pallas_sweep_records(
+                packed, n_real, is_vf, pair_budget=pair_budget,
+                interpret=_pallas_interpret(), any_order=any_order,
+                layout=layout, tile0=me * tiles_per, n_tiles=tiles_per,
+            )
+            cum = records_pair_prefix(records, n_recs)
+            n_true = n_pairs
+            pairs, _ = decode_records_range(
+                packed, records, cum, jnp.int32(0), pair_budget, n_pairs,
+                jnp.int32(0), is_vf,
+            )
+            pairs = jnp.concatenate(
+                [pairs, jnp.full((batch, 2), jnp.int32(-(2**31) + 1))]
             )
 
     elif sweep_impl == "pallas_ap":

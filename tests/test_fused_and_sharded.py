@@ -112,6 +112,30 @@ class TestSharded:
         assert int(res.vf_total) == int(single.vf_total)
         assert int(res.ee_total) == int(single.ee_total)
 
+    def test_eight_shards_records_sweep_matches_single_chip(self):
+        """The bit-record sweeps under shard_map: each shard emits records
+        for its tile range, one-shot-decodes them to element-id pairs, and
+        the pooled/striped narrow loop must reproduce the single-chip
+        records path exactly (TOI and totals)."""
+        s = cloth_on_sphere(grid_n=8, sphere_subdiv=0, drop=0.6)
+        args = _args(s, jnp.float32)
+        mesh = default_mesh()
+        single = fused_ccd(
+            *args, vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32,
+            sweep_impl="pallas_mxu", solver="pallas",
+        )
+        for impl in ("pallas_mxu", "pallas_sparse"):
+            fn = make_sharded_ccd(
+                mesh, vf_budget_per_shard=1 << 12,
+                ee_budget_per_shard=1 << 12,
+                dtype=jnp.float32, sweep_impl=impl, solver="pallas",
+            )
+            res = fn(*args, jnp.float32(0.0), jnp.float32(1e-6))
+            assert not bool(res.overflowed)
+            assert float(res.toi) == float(single.toi)
+            assert int(res.vf_total) == int(single.vf_total)
+            assert int(res.ee_total) == int(single.ee_total)
+
     def test_eight_shards_bucket_minor_matches(self):
         """Congestion ordering under shard_map: the replicated bucketed
         sort + the kernel's any-order planes must leave TOI and pair
