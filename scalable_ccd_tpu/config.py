@@ -113,11 +113,15 @@ class CCDConfig:
     #: valid only as lower-bound certificates.
     toi_per_query: bool = False
 
-    #: Chunked-pipeline broad phase: "fast" (gather-free shift-block sweep,
-    #: falls back to "exact" per chunk on budget overflow) or "exact" (the
-    #: slot-decode path with budget-free exact totals).  Both produce the
-    #: identical pair set (tests/test_sweep_decoders.py).
-    broad_impl: str = "fast"
+    #: Chunked-pipeline broad phase: "auto" (the Mosaic all-pairs sweep
+    #: kernel on TPU, "fast" elsewhere), "pallas" (force the kernel; the
+    #: a-side tile range is the chunk cursor, with a one-shot exact-total
+    #: budget retry per chunk), "fast" (gather-free shift-block sweep,
+    #: falls back to "exact" per chunk on budget overflow) or "exact"
+    #: (the slot-decode path with budget-free exact totals).  All produce
+    #: the identical pair set (tests/test_sweep_decoders.py,
+    #: tests/test_pipeline.py).
+    broad_impl: str = "auto"
 
     #: Narrow-phase solver: "auto" (the Mosaic hardware kernel on TPU for
     #: the global fast path — measured 40x over the XLA queue on the

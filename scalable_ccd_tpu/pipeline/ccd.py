@@ -127,7 +127,26 @@ def _partial_ccd(
     ftab = pack_face_table(vcat, faces) if is_vf else None
     etab = None if is_vf else pack_edge_table(vcat, edges)
 
-    if config.broad_impl == "fast":
+    broad = config.broad_impl
+    if broad == "auto":
+        # the Mosaic sweep kernel on TPU; the XLA shift-block sweep
+        # elsewhere (interpret-mode partner streaming is impractically
+        # slow on CPU)
+        from scalable_ccd_tpu.pipeline.fused import _pallas_interpret
+
+        broad = "fast" if _pallas_interpret() else "pallas"
+    if broad not in ("fast", "exact", "pallas"):
+        raise ValueError(f"unknown broad_impl {config.broad_impl!r}")
+    if broad == "pallas":
+        from scalable_ccd_tpu.pipeline.fused import sweep_chunks_pallas
+
+        chunks = sweep_chunks_pallas(
+            sorted_boxes,
+            is_two_lists=is_vf,
+            box_chunk_size=mem.box_chunk_size,
+            pair_budget=mem.pair_chunk_size,
+        )
+    elif broad == "fast":
         from scalable_ccd_tpu.pipeline.fused import sweep_chunks_fast
 
         chunks = sweep_chunks_fast(

@@ -400,6 +400,48 @@ def sweep_chunks_fast(
             yield pairs, int(count)
 
 
+def sweep_chunks_pallas(
+    sorted_boxes,
+    is_two_lists: bool,
+    box_chunk_size: int = 1 << 15,
+    pair_budget: int = 1 << 20,
+    n_real_boxes: Optional[int] = None,
+    any_order: bool = False,
+):
+    """Host-driven chunk generator on the all-pairs subtile Mosaic kernel.
+
+    The kernel's a-side tile range (``tile0``/``n_tiles``) IS the
+    reference's broad-phase chunk cursor (``thread_start_box_id``,
+    ``cuda/broad_phase/broad_phase.cu:121-224``) in 1024-box units; the
+    partner stream always covers the whole packed array, so the union
+    over chunks is exactly the single-dispatch pair set.  A chunk that
+    overflows ``pair_budget`` retries once with the budget sized from the
+    kernel's EXACT survivor total (the reference grows its buffer to
+    ``real_count`` the same way, ``memory_handler.cpp:55-79``; no halving
+    needed because totals stay exact on overflow).
+    """
+    from scalable_ccd_tpu.ops.pallas_sweep_ap import _TILE
+
+    n = sorted_boxes.n if n_real_boxes is None else n_real_boxes
+    packed, n_real = pack_boxes_ap(sorted_boxes)
+    tiles_total = -(-n // _TILE)
+    tiles_per = max(1, box_chunk_size // _TILE)
+    interp = _pallas_interpret()
+    for t0 in range(0, tiles_total, tiles_per):
+        nt = min(tiles_per, tiles_total - t0)
+        budget = pair_budget
+        for _ in range(4):
+            pairs, n_p, n_t, ovf = pallas_sweep_pairs(
+                packed, n_real, is_two_lists, budget=budget,
+                tile0=jnp.int32(t0), n_tiles=nt, interpret=interp,
+                any_order=any_order,
+            )
+            if not bool(ovf):
+                break
+            budget = _pow2ceil(max(int(n_t), budget + 1))
+        yield pairs, int(n_p)
+
+
 def _phase(
     sorted_boxes,
     is_vf: bool,

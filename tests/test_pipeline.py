@@ -272,3 +272,38 @@ def test_chunked_pallas_solver_matches_bfs():
     pal = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
               config=CONFIG.replace(dtype="float32", solver="pallas"))
     assert pal == pytest.approx(base, abs=1e-6)
+
+
+def test_chunked_pallas_sweep_matches_fast():
+    """config.broad_impl='pallas' drives the chunked broad phase through
+    the Mosaic sweep kernel (interpret mode on CPU), with the a-side tile
+    range as the chunk cursor; TOI and candidate totals must match the
+    XLA 'fast' sweep exactly, including under chunk sizes smaller than
+    one 1024-box tile."""
+    scene = cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
+    s_fast, s_pal = CCDStats(), CCDStats()
+    base = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+               config=CONFIG.replace(dtype="float32", broad_impl="fast"),
+               stats=s_fast)
+    pal = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+              config=CONFIG.replace(dtype="float32", broad_impl="pallas"),
+              stats=s_pal)
+    assert pal == pytest.approx(base, abs=1e-6)
+    assert s_pal.vf_candidates == s_fast.vf_candidates
+    assert s_pal.ee_candidates == s_fast.ee_candidates
+
+    # a tiny pair budget must be recovered by the exact-total retry, not
+    # dropped: same totals again
+    tiny = CONFIG.replace(
+        dtype="float32", broad_impl="pallas",
+        memory=MemoryConfig(
+            box_chunk_size=1 << 10, pair_chunk_size=64,
+            query_buckets=(1 << 10, 1 << 12),
+        ),
+    )
+    s_tiny = CCDStats()
+    pal2 = ccd(scene.vertices_t0, scene.vertices_t1, scene.edges,
+               scene.faces, config=tiny, stats=s_tiny)
+    assert pal2 == pytest.approx(base, abs=1e-6)
+    assert s_tiny.vf_candidates == s_fast.vf_candidates
+    assert s_tiny.ee_candidates == s_fast.ee_candidates
