@@ -71,14 +71,22 @@ def _enable_compilation_cache() -> None:
             cache_root, f"host-{tag}"
         )
         os.makedirs(cache_dir, exist_ok=True)
-        # prune cache dirs for other hosts: they are never read again and
-        # hold binaries that are unsafe to load here anyway
+        # prune cache dirs for other hosts, but only ones idle > 24 h:
+        # a checkout genuinely shared between live hosts keeps both
+        # caches (and no racing writer gets its directory deleted), while
+        # dead containers' dirs stop accumulating
         try:
             import shutil
+            import time
 
+            cutoff = time.time() - 24 * 3600
             for d in os.listdir(cache_root):
                 p = os.path.join(cache_root, d)
-                if d.startswith("host-") and p != cache_dir:
+                if (
+                    d.startswith("host-")
+                    and p != cache_dir
+                    and os.path.getmtime(p) < cutoff
+                ):
                     shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

@@ -268,6 +268,27 @@ def _sweep_kernel(
     if emit == "records":
         (recs_out, np_out, nrec_out, ovf_out,
          a_f, a_i, w_f, w_i, stage, astage, state, sems) = refs
+
+        def fold_group(rc, rem):
+            """Fold staging records ``rc - rem .. rc - 1`` into the dense
+            stage row they belong to (all <= 16 share one row because
+            _REC_PER_ROW == the group size); shared by the in-loop group
+            boundary and the final partial flush."""
+            s1l = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+            f_sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+            folded = jnp.zeros((1, _LANE), jnp.int32)
+            for rr in range(_REC_PER_ROW):
+                bl = _REC_WORDS * rr
+                seg = (s1l >= bl) & (s1l < bl + 6) & (rem > rr)
+                folded = jnp.where(
+                    seg, pltpu.roll(astage[rr:rr + 1], bl, axis=1), folded
+                )
+            srow = ((rc - rem) % _REC_STAGE) // _REC_PER_ROW
+            stage[:] = jnp.where(
+                f_sub == srow,
+                jnp.broadcast_to(folded, (_SUB, _LANE)),
+                stage[:],
+            )
     elif emit in ("sparse", "mxu"):
         (recs_out, np_out, nrec_out, ovf_out,
          a_f, a_i, w_f, w_i, stage, foldbuf, state, sems) = refs
@@ -554,34 +575,9 @@ def _sweep_kernel(
                 sA_lane = jax.lax.broadcasted_iota(
                     jnp.int32, (_REC_PER_ROW, _LANE), 1
                 )
-                s1_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-
-                def fold_group(rc, rem):
-                    """Fold staging records ``rc - rem .. rc - 1`` into the
-                    dense stage row they belong to (all 16 share one row
-                    because _REC_PER_ROW == the group size)."""
-                    folded = jnp.zeros((1, _LANE), jnp.int32)
-                    for rr in range(_REC_PER_ROW):
-                        bl = _REC_WORDS * rr
-                        seg = (
-                            (s1_lane >= bl)
-                            & (s1_lane < bl + 6)
-                            & (rem > rr)
-                        )
-                        folded = jnp.where(
-                            seg,
-                            pltpu.roll(astage[rr:rr + 1], bl, axis=1),
-                            folded,
-                        )
-                    srow = ((rc - rem) % _REC_STAGE) // _REC_PER_ROW
-                    stage[:] = jnp.where(
-                        s_sub == srow,
-                        jnp.broadcast_to(folded, (_SUB, _LANE)),
-                        stage[:],
-                    )
 
                 @pl.when(total > 0)
-                def _(fold_group=fold_group, sA_sub=sA_sub, sA_lane=sA_lane):
+                def _(sA_sub=sA_sub, sA_lane=sA_lane):
                     for u in range(UB):
                         keep_u = keep[u]
                         tot_u = jnp.sum(keep_u, dtype=jnp.int32)
@@ -1077,20 +1073,7 @@ def _sweep_kernel(
 
             @pl.when(rem > 0)
             def _():
-                s1l = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-                folded = jnp.zeros((1, _LANE), jnp.int32)
-                for rr in range(_REC_PER_ROW):
-                    bl = _REC_WORDS * rr
-                    seg = (s1l >= bl) & (s1l < bl + 6) & (rem > rr)
-                    folded = jnp.where(
-                        seg, pltpu.roll(astage[rr:rr + 1], bl, axis=1), folded
-                    )
-                srow = ((rc - rem) % _REC_STAGE) // _REC_PER_ROW
-                stage[:] = jnp.where(
-                    s_sub == srow,
-                    jnp.broadcast_to(folded, (_SUB, _LANE)),
-                    stage[:],
-                )
+                fold_group(rc, rem)
 
             @pl.when(rc % _REC_STAGE > 0)
             def _():

@@ -104,6 +104,12 @@ def _pow2ceil(n: int) -> int:
     """Smallest power of two >= n (n >= 1)."""
     return 1 << (max(int(n), 1) - 1).bit_length()
 
+
+#: sticky auto-budget resizes, keyed by (initial vf guess, initial ee
+#: guess, sweep_impl): once a frame overflows the guess and retries with
+#: grown budgets, later frames of the same scene-size class start there
+_AUTO_BUDGET_MEMO: dict = {}
+
 __all__ = [
     "FusedCCDResult",
     "FusedCollisionsResult",
@@ -1161,6 +1167,7 @@ def fused_ccd(
     # its buffer overflowed (``pallas_sweep_pairs`` ``n_true``).
     vf_auto = kwargs.get("vf_budget", "auto") == "auto"
     ee_auto = kwargs.get("ee_budget", "auto") == "auto"
+    auto_key = None
     if vf_auto:
         n_vf = int(jnp.shape(vertices_t0)[0]) + int(jnp.shape(faces)[0])
         kwargs["vf_budget"] = max(
@@ -1171,6 +1178,21 @@ def fused_ccd(
         kwargs["ee_budget"] = max(
             _pow2ceil(_AUTO_EE_GUESS * n_ee), _AUTO_BUDGET_MIN
         )
+    if vf_auto or ee_auto:
+        # sticky resize: a per-frame simulation loop must not pay the
+        # undersized dispatch + retry on EVERY call once one frame has
+        # shown the guess too small — remember grown budgets per
+        # scene-size class (the initial pow2 guesses) for the process
+        auto_key = (
+            kwargs.get("vf_budget"), kwargs.get("ee_budget"),
+            kwargs.get("sweep_impl"),
+        )
+        grown = _AUTO_BUDGET_MEMO.get(auto_key)
+        if grown is not None:
+            if vf_auto:
+                kwargs["vf_budget"] = max(kwargs["vf_budget"], grown[0])
+            if ee_auto:
+                kwargs["ee_budget"] = max(kwargs["ee_budget"], grown[1])
 
     def _dispatch():
         if collisions is None:
@@ -1212,6 +1234,10 @@ def fused_ccd(
             res = _dispatch()
             if not bool(res.overflowed):
                 break
+        _AUTO_BUDGET_MEMO[auto_key] = (
+            kwargs["vf_budget"] if vf_auto else 0,
+            kwargs["ee_budget"] if ee_auto else 0,
+        )
 
     if collisions is None:
         return res

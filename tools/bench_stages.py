@@ -86,11 +86,11 @@ def sharded_probe(grid, subdiv, budget, narrow_batch):
 
 
 def main():
-    grid = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    subdiv = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    narrow_batch = (
-        int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 14
-    )
+    # flags may appear anywhere; numeric positionals are parsed in order
+    nums = [a for a in sys.argv[1:] if not a.startswith("--")]
+    grid = int(nums[0]) if len(nums) > 0 else 128
+    subdiv = int(nums[1]) if len(nums) > 1 else 4
+    narrow_batch = int(nums[2]) if len(nums) > 2 else 1 << 14
     budget = 1 << 22
     if "--sharded" in sys.argv:
         sharded_probe(grid, subdiv, budget, narrow_batch)
