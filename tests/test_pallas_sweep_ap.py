@@ -315,3 +315,48 @@ def test_fused_pipeline_ap_sweep_matches_xla():
     assert float(r_ap.toi) == pytest.approx(float(r_xla.toi), abs=1e-6)
     assert int(r_ap.vf_total) == int(r_xla.vf_total)
     assert int(r_ap.ee_total) == int(r_xla.ee_total)
+
+
+@pytest.mark.parametrize("layout", ["sparse", "mxu"])
+def test_records_dense_cluster_stress(layout):
+    """Every box overlapping every other: window steps carry the maximum
+    record count (the mxu path's 64-record placement, double-fold nf==2,
+    and mid-step DMA paths; the sparse path's per-row loop at full
+    occupancy).  Exact pair-set parity with the XLA sweep."""
+    from scalable_ccd_tpu.ops.pallas_sweep_ap import (
+        decode_records_range,
+        pallas_sweep_records,
+        records_pair_prefix,
+    )
+
+    # ~240 co-located edges (triangle centers clustered far tighter than
+    # the triangle extent) -> nearly all ~28k edge pairs survive the AABB
+    # filter
+    rng = np.random.default_rng(9)
+    nt = 80
+    centers = 0.002 * rng.uniform(size=(nt, 1, 3))
+    v0 = (centers + rng.normal(scale=0.05, size=(nt, 3, 3))).reshape(-1, 3)
+    v1 = v0 + rng.normal(scale=0.01, size=v0.shape)
+    faces = np.arange(3 * nt, dtype=np.int64).reshape(nt, 3)
+    from scalable_ccd_tpu.geometry.scenes import Scene
+
+    _, eb, _ = _boxes(Scene(v0, v1, faces))
+    sb = sort_boxes(eb)
+    ref = set(map(tuple, detect_overlaps(sb, is_two_lists=False).tolist()))
+    assert len(ref) > 10_000  # genuinely dense
+    packed, n = pack_boxes_ap(sb)
+    recs, n_recs, n_pairs, ovf = pallas_sweep_records(
+        packed, n, False, pair_budget=1 << 15, interpret=True,
+        layout=layout,
+    )
+    assert not bool(ovf)
+    assert int(n_pairs) == len(ref)
+    cum = records_pair_prefix(recs, n_recs)
+    got, r_lo, B = [], jnp.int32(0), 1 << 12
+    for start in range(0, int(n_pairs), B):
+        chunk, r_lo = decode_records_range(
+            packed, recs, cum, jnp.int32(start), B, n_pairs, r_lo, False,
+        )
+        got.extend(map(tuple, np.asarray(
+            chunk[: min(B, int(n_pairs) - start)]).tolist()))
+    assert set(got) == ref
