@@ -709,6 +709,14 @@ def _phase(
         return toi_after, ck + ck_r, capped_b | capped_r
 
     if collect:
+        if axis_name is not None:
+            # the per-pair buffers below are per-shard and the early
+            # return would skip the pooled/pmin'd multi-chip loop —
+            # silently wrong global TOI, so refuse loudly
+            raise ValueError(
+                "collect (per-pair collisions) mode is single-chip; run "
+                "fused_ccd(collisions=...) without a mesh"
+            )
         P = pairs.shape[0] if pairs is not None else pair_budget + batch
         pq0 = jnp.full((P,), jnp.inf, dtype)
         # decoded element-id pairs, written batch by batch (the records
