@@ -37,7 +37,45 @@ REPS = 5
 FIRST_TPU_MS = 14088.8
 
 
+def _probe_device(attempts: int = 3, timeout_s: int = 90) -> None:
+    """Fail fast if the device backend is unreachable.
+
+    A wedged TPU worker (CLAUDE.md) makes the first in-process dispatch
+    hang forever; a supervisor that then timeout-kills this process
+    mid-dispatch can wedge the worker even harder.  Probe from a
+    disposable subprocess instead: it can be killed without touching this
+    process's (not-yet-initialized) backend.
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "print(float(jax.device_get(jnp.arange(8.0).sum())))\n"
+    )
+    last = ""
+    for i in range(attempts):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if res.returncode == 0 and "28.0" in res.stdout:
+                return
+            last = (res.stderr or res.stdout)[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"probe hung > {timeout_s}s"
+        if i + 1 < attempts:
+            time.sleep(60)
+    sys.stderr.write(
+        f"bench.py: device backend unreachable, refusing to hang "
+        f"({attempts} probes failed; last: {last})\n"
+    )
+    raise SystemExit(2)
+
+
 def main() -> None:
+    _probe_device()
+
     from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere
     from scalable_ccd_tpu.pipeline.fused import fused_ccd
 
