@@ -104,12 +104,15 @@ _MXU_STAGE = 96
 # (equals major_min itself under the plain major sort); _ROWUMIN/_ROWUMAX =
 # per-128-box-row unions of the first minor axis, the row-skip test;
 # _WINUMIN/_WINUMAX = the same unions per aligned 1024-box window
-# (broadcast over the window's rows), the window-skip test — scalars so
+# (broadcast over the window's rows), the window-skip test;
+# _BATUMIN/_BATUMAX = the same unions per aligned 8-box stream batch
+# (broadcast over the batch's lanes), the batch-skip test — scalars so
 # the kernel can read them from SMEM (vector reduces from SMEM are
 # rejected by Mosaic on hardware).
 (_MAJ_MIN, _MAJ_MAX, _MIN0, _MIN1, _MAX0, _MAX1,
- _FWDMIN, _ROWUMIN, _ROWUMAX, _WINUMIN, _WINUMAX) = range(11)
-_NF = 11  # f32 plane count
+ _FWDMIN, _ROWUMIN, _ROWUMAX, _WINUMIN, _WINUMAX,
+ _BATUMIN, _BATUMAX) = range(13)
+_NF = 13  # f32 plane count
 # i32 field plane order (_POS = box position in sorted order, for the
 # j > i test and the stream start; the a-side may be extent-reordered)
 _V0, _V1, _V2, _EID, _POS = range(5)
@@ -201,18 +204,29 @@ def pack_boxes_ap(
     wi = bi if order is None else planes(i_cols, i_fill, None)
 
     def extras(wf):
-        """Partner-side stream-termination + skip planes (11 total).
+        """Partner-side stream-termination + skip planes (13 total).
 
         fwdmin[j] = min of major_min over positions >= j: monotone
         non-decreasing for ANY ordering, so `fwdmin > a_reach` is an exact
         stream stop (== major_min under the plain sort).  Row unions span
         each 128-box row's first minor axis, window unions each aligned
-        1024-box window's; padding (inverted bounds) cannot widen either.
+        1024-box window's, batch unions each aligned 8-box stream batch's;
+        padding (inverted bounds) cannot widen any of them.
         """
         mm = wf[_MAJ_MIN].reshape(-1)
         fwd = jnp.flip(jax.lax.cummin(jnp.flip(mm))).reshape(rows, _LANE)
         rmin = jnp.min(wf[_MIN0], axis=1)  # (rows,)
         rmax = jnp.max(wf[_MAX0], axis=1)
+        # per-8-box batch unions, broadcast back over each batch's lanes
+        # (the stream keeps j 8-aligned, so a batch is exactly one group)
+        bat_min = jnp.repeat(
+            jnp.min(wf[_MIN0].reshape(rows, _LANE // 8, 8), axis=2),
+            8, axis=1,
+        )
+        bat_max = jnp.repeat(
+            jnp.max(wf[_MAX0].reshape(rows, _LANE // 8, 8), axis=2),
+            8, axis=1,
+        )
         # windows are the kernel's aligned 8-row loads; rows need not be a
         # multiple of 8, so pad the grouping with inverted bounds
         wrows = -(-rows // _SUB)
@@ -225,7 +239,8 @@ def pack_boxes_ap(
         wbrd = lambda x: brd(jnp.repeat(x, _SUB)[:rows])  # noqa: E731
         return jnp.concatenate(
             [wf, fwd[None], brd(rmin)[None], brd(rmax)[None],
-             wbrd(wmin)[None], wbrd(wmax)[None]]
+             wbrd(wmin)[None], wbrd(wmax)[None],
+             bat_min[None], bat_max[None]]
         )
 
     wf = extras(wf6)
@@ -244,7 +259,8 @@ def _sweep_kernel(
     bf_hbm,       # (_NF, R, 128) f32 in HBM: a-side (extent-classed order)
     bi_hbm,       # (5, R, 128) i32 in HBM: a-side ids + positions
     wf_hbm,       # (_NF, R, 128) f32 in HBM: partner side (stream order;
-                  # planes 6-10 = suffix-min termination + row/window minor unions)
+                  # planes 6-12 = suffix-min termination + row/window/batch
+                  # minor unions)
     wi_hbm,       # (5, R, 128) i32 in HBM: partner side
     *refs,        # outputs then scratch — layout depends on ``emit``:
                   #   pairs:   pairs_out (2, PB, 128) HBM; np_out, nt_out,
@@ -506,10 +522,20 @@ def _sweep_kernel(
             r_min0 = w_f[_ROWUMIN, row, 0]
             r_max0 = w_f[_ROWUMAX, row, 0]
             row_dead = (r_min0 > a_umax0) | (r_max0 < a_umin0)
+            # batch skip: the same union test per 8-partner batch.  A live
+            # row streams 16 batches; under bucket_minor ordering a row's
+            # batches partition its minor span, so a narrow subtile union
+            # overlaps only a few — two SMEM scalar reads skip the other
+            # batches' full vector filter (~72 SMEM reads + ~20 vector
+            # ops).  Advance stays +UB: only row_dead widens the jump.
+            b_bmin0 = w_f[_BATUMIN, row, sl % _LANE]
+            b_bmax0 = w_f[_BATUMAX, row, sl % _LANE]
+            bat_dead = (b_bmin0 > a_umax0) | (b_bmax0 < a_umin0)
         else:
             row_dead = go != go  # constant False, same trace type
+            bat_dead = row_dead
 
-        @pl.when((go != 0) & ~row_dead)
+        @pl.when((go != 0) & ~row_dead & ~bat_dead)
         def _():
             b_mmin = field_f(_MAJ_MIN)
             b_min0 = field_f(_MIN0)
