@@ -488,26 +488,35 @@ def _sweep_kernel(
         sl = j - wbase
         iota_u = jax.lax.broadcasted_iota(jnp.int32, (UB, 1, 1), 0)
 
+        # j stays 8-aligned (the start rounds down, advances are +8 or to
+        # 128/1024-aligned boundaries), so a batch never crosses a 128-lane
+        # row: one divmod addresses all 8 partners (the per-read
+        # (sl+u)//128 forms cost ~2 scalar div/mods x 72 reads per batch
+        # and the compiler cannot prove them redundant without the
+        # alignment invariant)
+        row = sl // _LANE
+        lane0 = sl % _LANE
+
         # scalars -> (UB, 1, 1) vector via one-hot fills (1-D vectors are
         # not representable in Mosaic, so no stack+reshape)
         def field_f(fidx):
             out = jnp.zeros((UB, 1, 1), jnp.float32)
             for u in range(UB):
-                v = w_f[fidx, (sl + u) // _LANE, (sl + u) % _LANE]
+                v = w_f[fidx, row, lane0 + u]
                 out = jnp.where(iota_u == u, v, out)
             return out
 
         def field_i(fidx):
             out = jnp.zeros((UB, 1, 1), jnp.int32)
             for u in range(UB):
-                v = w_i[fidx, (sl + u) // _LANE, (sl + u) % _LANE]
+                v = w_i[fidx, row, lane0 + u]
                 out = jnp.where(iota_u == u, v, out)
             return out
 
         # stop once no subtile box can reach any remaining partner: the
         # suffix-min plane makes this exact for any stream ordering
         # (under the plain major sort it IS major_min)
-        b_first = w_f[_FWDMIN, sl // _LANE, sl % _LANE]
+        b_first = w_f[_FWDMIN, row, lane0]
         go = jnp.where(b_first > a_reach, 0, go)
 
         # row skip: a 128-partner row whose first-minor union cannot touch
@@ -517,7 +526,6 @@ def _sweep_kernel(
         # (rows span the whole minor extent; gated off to keep the default
         # path free of the two scalar reads) but becomes the main work
         # saver under sort_boxes(bucket_minor=True).
-        row = sl // _LANE
         if any_order:
             r_min0 = w_f[_ROWUMIN, row, 0]
             r_max0 = w_f[_ROWUMAX, row, 0]
@@ -528,8 +536,8 @@ def _sweep_kernel(
             # overlaps only a few — two SMEM scalar reads skip the other
             # batches' full vector filter (~72 SMEM reads + ~20 vector
             # ops).  Advance stays +UB: only row_dead widens the jump.
-            b_bmin0 = w_f[_BATUMIN, row, sl % _LANE]
-            b_bmax0 = w_f[_BATUMAX, row, sl % _LANE]
+            b_bmin0 = w_f[_BATUMIN, row, lane0]
+            b_bmax0 = w_f[_BATUMAX, row, lane0]
             bat_dead = (b_bmin0 > a_umax0) | (b_bmax0 < a_umin0)
         else:
             row_dead = go != go  # constant False, same trace type
@@ -987,7 +995,7 @@ def _sweep_kernel(
 
                     @pl.when(tot_u > 0)
                     def _(u=u, keep_u=keep_u, tot_u=tot_u):
-                        b_eid_u = w_i[_EID, (sl + u) // _LANE, (sl + u) % _LANE]
+                        b_eid_u = w_i[_EID, row, lane0 + u]
 
                         def pop_cond(pc):
                             return pc[0] > 0
