@@ -182,7 +182,9 @@ def pack_boxes_ap(
         extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
         thr = long_extent_factor * jnp.mean(extent)
         # stable partition: short boxes first, long boxes after, each class
-        # in sorted-position order; ONE row gather per dtype applies it
+        # in sorted-position order; ONE row gather applies it (the i32
+        # columns ride along bitcast to f32 — gathers move bits only and
+        # cost ~10 ns/row regardless of width, PERF.md)
         order = jnp.argsort((extent > thr).astype(jnp.int32), stable=True)
     else:
         # small scenes: subtile skew is cheap, the permutation gather is not
@@ -196,8 +198,18 @@ def pack_boxes_ap(
         )  # (total, F)
         return jnp.transpose(padded.reshape(rows, _LANE, -1), (2, 0, 1))
 
-    bf6 = planes(f_cols, f_fill, order)
-    bi = planes(i_cols, i_fill, order)
+    if order is not None:
+        stacked = jnp.concatenate(
+            [f_cols, jax.lax.bitcast_convert_type(i_cols, jnp.float32)],
+            axis=1,
+        )[order]
+        f_perm = stacked[:, :6]
+        i_perm = jax.lax.bitcast_convert_type(stacked[:, 6:], jnp.int32)
+        bf6 = planes(f_perm, f_fill, None)
+        bi = planes(i_perm, i_fill, None)
+    else:
+        bf6 = planes(f_cols, f_fill, None)
+        bi = planes(i_cols, i_fill, None)
     # the partner stream reads SORTED order; when the a-side was not
     # permuted the same planes serve both sides (no second copy)
     wf6 = bf6 if order is None else planes(f_cols, f_fill, None)
