@@ -13,12 +13,23 @@ VMEM:
 - Each grid step owns a block of ``8*128`` queries laid out as the VPU's
   native ``(8, 128)`` vector registers; all per-query state (current domain,
   stack pointer, flags) lives in vector registers / VMEM.
-- Each query runs its own depth-first bisection with a **compressed stack**:
-  descending into a child modifies exactly one domain bound, so a stack
-  level stores only {replaced bound value (f32), split dim, side,
-  pending-sibling flag (packed i32)} instead of the full 6-float domain.
-  Push/pop address the per-lane depth with an unrolled one-hot select over
-  the depth axis (Mosaic has no per-lane dynamic addressing).
+- Each query runs its own depth-first bisection with a **value-free
+  compressed stack**: descending into a child modifies exactly one domain
+  bound to the midpoint, and because every bound is a dyadic rational
+  (``k/2^m``, the domain starts at [0,1]^3 and is only ever bisected), the
+  replaced parent bound is reconstructed exactly on unwind from the child
+  bounds alone — ``H = 2*hi - lo`` (left child) / ``L = 2*lo - hi``
+  (right child), exact in f32 while the per-dim split depth stays <= 24
+  (numerators stay below 2^25, and a single subtraction whose exact result
+  is representable is exact).  A stack level therefore stores only a
+  4-bit nibble {split dim, side, pending-sibling flag}: 64 levels = 256
+  bits = 8 i32 planes held in vector registers and shifted by constants —
+  no VMEM stack arrays and no per-level one-hot addressing at all (the
+  previous formulation's unrolled 64-level select chains were ~10x the
+  cost of the interval arithmetic itself).  A packed per-dim split
+  counter enforces the <= 24 exactness bound; exceeding it conservative-
+  accepts exactly like stack overflow (f32 cannot usefully resolve
+  intervals below 2^-24 of the unit domain anyway).
 - The running TOI is shared at three scopes, mirroring the reference's
   ``atomicMin`` visibility: lanes of a block share it every round; blocks
   share it through an SMEM scratch accumulator that persists across the
@@ -71,49 +82,19 @@ _DEPTH = 64
 #: bugs, matching the reference's unbounded max_iter default.
 _MAX_ROUNDS = 1 << 20
 
-# meta bit layout
+# stack-nibble bit layout (4 bits per level)
 _DIM_MASK = 3
-_SIDE_HI = 4  # set: the saved value is the old *upper* bound of `dim`
+_SIDE_HI = 4  # set: the replaced value was the old *upper* bound of `dim`
 _PENDING = 8  # set: a sibling (child2) is still to be explored
 
-
-def _onehot_read(ref, idx, mask, depth, unroll):
-    """read ref[idx[lane]] per lane via a one-hot select over the depth axis
-    (Mosaic has no per-lane dynamic addressing).
-
-    Both forms compute identical row selects; the unrolled form is ~5x
-    faster on hardware (vector code, no scalar loop), while the fori form
-    keeps the trace ~50x smaller — essential in interpret mode, where the
-    unrolled graph takes minutes to compile on CPU.
-    """
-    if unroll:
-        out = jnp.zeros((_SUB, _LANE), ref.dtype)
-        for d in range(depth):
-            out = jnp.where(mask & (idx == d), ref[d, :, :], out)
-        return out
-
-    def body(d, out):
-        return jnp.where(mask & (idx == d), ref[d, :, :], out)
-
-    return jax.lax.fori_loop(
-        0, depth, body, jnp.zeros((_SUB, _LANE), ref.dtype)
-    )
-
-
-def _onehot_write(ref, idx, mask, value, depth, unroll):
-    """ref[idx[lane]] = value per lane via one-hot row updates."""
-    if unroll:
-        for d in range(depth):
-            m = mask & (idx == d)
-            ref[d, :, :] = jnp.where(m, value, ref[d, :, :])
-        return
-
-    def body(d, _):
-        m = mask & (idx == d)
-        ref[d, :, :] = jnp.where(m, value, ref[d, :, :])
-        return 0
-
-    jax.lax.fori_loop(0, depth, body, 0)
+#: per-dim split-depth cap: bounds at depth m are k/2^m with k <= 2^m, so
+#: the midpoint sum (k1 + k2 <= 2^(m+1)) and the unwind reconstruction
+#: (2*hi - lo) stay exactly representable in f32's 24-bit mantissa for
+#: m <= 23; the 24th split is the last exact one and deeper requests
+#: conservative-accept (below 2^-24 of the unit domain f32 cannot
+#: usefully resolve the interval anyway — the XLA twins' mids degenerate
+#: to a bound at the same scale and accept too)
+_DIM_CAP = 24
 
 
 def _solver_kernel(
@@ -124,7 +105,6 @@ def _solver_kernel(
     *refs,       # outputs then scratch; see below
     is_vf: bool,
     allow_zero_toi: bool,
-    unroll: bool,
     per_query: bool,
     max_iterations: int,
 ):
@@ -140,10 +120,11 @@ def _solver_kernel(
     """
     if per_query:
         (toi_out_ref, ovf_out_ref, checks_out_ref, pq_out_ref,
-         stack_val, stack_meta, toi_run) = refs
+         toi_run) = refs
     else:
-        (toi_out_ref, ovf_out_ref, checks_out_ref,
-         stack_val, stack_meta, toi_run) = refs
+        (toi_out_ref, ovf_out_ref, checks_out_ref, toi_run) = refs
+    # 4-bit stack nibbles, newest in the low bits of plane 0
+    n_path = max(1, -(-_DEPTH // 8))
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -200,7 +181,10 @@ def _solver_kernel(
 
     def body(state):
         (lo0, lo1, lo2, hi0, hi1, hi2, sp, cur_ok_i, pend_min, toi_blk,
-         tpq, checks_lane, checks, ovf_i, rounds) = state
+         tpq, checks_lane, checks, ovf_i) = state[: 14]
+        path = list(state[14: 14 + n_path])
+        dimcnt = state[14 + n_path]
+        rounds = state[-1]
         # Mosaic cannot carry i1 vectors through scf.while — flags ride as i32
         cur_ok = cur_ok_i != 0
         lo = (lo0, lo1, lo2)
@@ -255,7 +239,14 @@ def _solver_kernel(
         live = active & ~pruned & hit
         accept = live & (cond1 | cond2 | cond3 | degenerate)
         want_split = live & ~accept
-        stack_full = sp >= _DEPTH
+        # split-dim depth so far (packed 8-bit counters: dims 0/1/2 in
+        # bits 0-7/8-15/16-23) — past _DIM_CAP the dyadic reconstruction
+        # below could round, so treat it exactly like a full stack
+        cnt_d = jnp.where(
+            d0, dimcnt & 255,
+            jnp.where(d1, (dimcnt >> 8) & 255, (dimcnt >> 16) & 255),
+        )
+        stack_full = (sp >= _DEPTH) | (cnt_d >= _DIM_CAP)
         ovf_now = want_split & stack_full
         accept = accept | ovf_now          # conservative accept
         do_split = want_split & ~stack_full
@@ -275,8 +266,18 @@ def _solver_kernel(
         else:
             push2_ok = ~is_t | (mid <= bound)
         meta = split + jnp.where(push2_ok, _SIDE_HI | _PENDING, _SIDE_HI)
-        _onehot_write(stack_val, sp, do_split, s_hi, _DEPTH, unroll)
-        _onehot_write(stack_meta, sp, do_split, meta, _DEPTH, unroll)
+        # push: shift the 4-bit nibble chain left through the path planes
+        # (register ops only — no VMEM stack, no one-hot depth addressing)
+        carry = meta
+        for k in range(n_path):
+            top = jax.lax.shift_right_logical(path[k], jnp.int32(28))
+            path[k] = jnp.where(do_split, (path[k] << 4) | carry, path[k])
+            carry = top
+        dimcnt = dimcnt + jnp.where(
+            do_split,
+            jnp.where(d0, 1, jnp.where(d1, 1 << 8, 1 << 16)),
+            0,
+        )
         # pending child2's earliest time: mid if the split dim is t, else lo_t
         child2_t = jnp.where(split == 0, mid, lo0)
         pend_min = jnp.where(do_split & push2_ok,
@@ -295,16 +296,23 @@ def _solver_kernel(
         unwind = finish | (~cur_ok & (sp > 0))
         for _ in range(2):
             can = unwind & (sp > 0)
-            at = jnp.maximum(sp - 1, 0)
-            val = _onehot_read(stack_val, at, can, _DEPTH, unroll)
-            m = _onehot_read(stack_meta, at, can, _DEPTH, unroll)
+            m = path[0] & 15  # newest nibble (garbage off-mask, gated below)
             dim = m & _DIM_MASK
             side_hi = (m & _SIDE_HI) != 0
             pending = (m & _PENDING) != 0
-            # restore the replaced bound (remember the old value: for a
-            # pending HI entry it is the sibling's new lower bound)
             old_hi = jnp.where(dim == 0, hi0, jnp.where(dim == 1, hi1, hi2))
             old_lo = jnp.where(dim == 0, lo0, jnp.where(dim == 1, lo1, lo2))
+            # reconstruct the replaced parent bound from the child bounds:
+            # left child [L, mid] of [L, H] -> H = 2*mid - L; right child
+            # [mid, H] of [L, H] -> L = 2*mid - H.  Exact in f32: every
+            # bound is k/2^m with m <= _DIM_CAP (the split guard), so the
+            # exact result is representable and one subtraction rounds to
+            # it (the reason the stack needs no value words at all)
+            val = jnp.where(
+                side_hi,
+                jnp.float32(2.0) * old_hi - old_lo,
+                jnp.float32(2.0) * old_lo - old_hi,
+            )
             r_hi = can & side_hi
             r_lo = can & ~side_hi
             hi0 = jnp.where(r_hi & (dim == 0), val, hi0)
@@ -314,22 +322,41 @@ def _solver_kernel(
             lo1 = jnp.where(r_lo & (dim == 1), val, lo1)
             lo2 = jnp.where(r_lo & (dim == 2), val, lo2)
             # enter the pending sibling: its lower bound is the old upper
-            # bound (the mid); reuse the entry to save our old lower bound
+            # bound (the mid); rewrite the nibble to a non-pending LO entry
+            # (on its later unwind, L = 2*lo - hi restores the parent)
             enter = can & pending & side_hi
             lo0 = jnp.where(enter & (dim == 0), old_hi, lo0)
             lo1 = jnp.where(enter & (dim == 1), old_hi, lo1)
             lo2 = jnp.where(enter & (dim == 2), old_hi, lo2)
-            _onehot_write(stack_val, at, enter, old_lo, _DEPTH, unroll)
-            _onehot_write(stack_meta, at, enter, dim, _DEPTH, unroll)
-            # non-pending: this level is fully unwound
-            sp = sp - (can & ~enter).astype(jnp.int32)
+            path[0] = jnp.where(enter, (path[0] & ~15) | dim, path[0])
+            # non-pending: this level is fully unwound — pop the nibble
+            do_pop = can & ~enter
+            for k in range(n_path - 1):
+                path[k] = jnp.where(
+                    do_pop,
+                    jax.lax.shift_right_logical(path[k], jnp.int32(4))
+                    | (path[k + 1] << 28),
+                    path[k],
+                )
+            path[n_path - 1] = jnp.where(
+                do_pop,
+                jax.lax.shift_right_logical(path[n_path - 1], jnp.int32(4)),
+                path[n_path - 1],
+            )
+            dimcnt = dimcnt - jnp.where(
+                do_pop,
+                jnp.where(dim == 0, 1, jnp.where(dim == 1, 1 << 8, 1 << 16)),
+                0,
+            )
+            sp = sp - do_pop.astype(jnp.int32)
             cur_ok = cur_ok | enter
             unwind = unwind & ~enter
         # lanes still unwinding (cur_ok False, sp>0) resume next round
 
         return (lo0, lo1, lo2, hi0, hi1, hi2, sp,
                 cur_ok.astype(jnp.int32), pend_min,
-                toi_blk, tpq, checks_lane, checks, ovf_i, rounds + 1)
+                toi_blk, tpq, checks_lane, checks, ovf_i,
+                *path, dimcnt, rounds + 1)
 
     def cond(state):
         sp, cur_ok_i = state[6], state[7]
@@ -338,21 +365,25 @@ def _solver_kernel(
 
     zero = jnp.zeros((_SUB, _LANE), jnp.float32)
     one = jnp.ones((_SUB, _LANE), jnp.float32)
+    izero = jnp.zeros((_SUB, _LANE), jnp.int32)
     state = (
         zero, zero, zero, one, one, one,
-        jnp.zeros((_SUB, _LANE), jnp.int32),
-        valid.astype(jnp.int32),
-        jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),
-        toi_run[0, 0],
-        jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),
-        jnp.zeros((_SUB, _LANE), jnp.int32),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
+        izero,                                          # sp
+        valid.astype(jnp.int32),                        # cur_ok
+        jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),  # pend_min
+        toi_run[0, 0],                                  # toi_blk
+        jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),  # tpq
+        izero,                                          # checks_lane
+        jnp.int32(0),                                   # checks
+        jnp.int32(0),                                   # ovf
+        *([izero] * n_path),                            # path nibbles
+        izero,                                          # dimcnt
+        jnp.int32(0),                                   # rounds (keep last)
     )
     state = jax.lax.while_loop(cond, body, state)
-    (lo0, _, _, _, _, _, sp, cur_ok_i, pend_min, toi_blk, tpq, _,
-     checks, ovf_i, _) = state
+    lo0, sp, cur_ok_i = state[0], state[6], state[7]
+    pend_min, toi_blk, tpq = state[8], state[9], state[10]
+    checks, ovf_i = state[12], state[13]
     cur_ok = cur_ok_i != 0
 
     # round cap: conservative-accept whatever is still alive or pending.
@@ -455,8 +486,7 @@ def pallas_find_roots(
 
     kernel = functools.partial(
         _solver_kernel, is_vf=is_vf, allow_zero_toi=allow_zero_toi,
-        unroll=not interpret, per_query=toi_per_query,
-        max_iterations=max_iterations,
+        per_query=toi_per_query, max_iterations=max_iterations,
     )
     out_specs = [
         # whole-array SMEM refs: each grid step writes its own row
@@ -497,8 +527,6 @@ def pallas_find_roots(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((_DEPTH, _SUB, _LANE), jnp.float32),
-            pltpu.VMEM((_DEPTH, _SUB, _LANE), jnp.int32),
             pltpu.SMEM((1, 1), jnp.float32),
         ],
         interpret=interpret,

@@ -258,6 +258,33 @@ def test_kernel_depth_overflow_flags_and_stays_conservative(monkeypatch):
         ps.pallas_find_roots.clear_cache()
 
 
+def test_kernel_dim_cap_flags_and_stays_conservative(monkeypatch):
+    """A forced-tiny per-dim split cap (the dyadic-exactness guard of the
+    value-free stack: past ``_DIM_CAP`` splits in one dim the unwind
+    reconstruction ``2*hi - lo`` could round) must conservative-accept with
+    the flag raised, exactly like stack overflow."""
+    import scalable_ccd_tpu.ops.pallas_solver as ps
+
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, True)
+    valid = jnp.ones((q.n,), bool)
+    ref = find_roots_bfs(
+        q, valid, True, toi_init=jnp.float32(1.0), ms=jnp.float32(0.0),
+        tolerance=jnp.float32(1e-6), max_iterations=-1,
+    )
+    monkeypatch.setattr(ps, "_DIM_CAP", 2)
+    ps.pallas_find_roots.clear_cache()
+    try:
+        toi, capped, _ = ps.pallas_find_roots(
+            q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+            jnp.float32(1e-6), interpret=True,
+        )
+        assert bool(capped)
+        assert float(toi) <= float(ref.toi) + 1e-7
+    finally:
+        ps.pallas_find_roots.clear_cache()
+
+
 def test_fused_pipeline_pallas_solver_matches_bfs():
     scene = cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
     from scalable_ccd_tpu.pipeline.fused import fused_ccd

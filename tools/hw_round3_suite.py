@@ -79,6 +79,70 @@ def _time_fused(args, reps=5, **kw):
     return statistics.median(ts), toi, ovf, first
 
 
+def step_solver_check():
+    """Parity + timing of the value-free-stack solver kernel vs the XLA
+    bfs solver on real bench-scale queries (interpret-green is NOT
+    hardware-green — the nibble-plane shifts and dyadic unwind are new)."""
+    import functools
+
+    from scalable_ccd_tpu.geometry.aabb import (
+        build_edge_boxes, build_face_boxes, build_vertex_boxes,
+    )
+    from scalable_ccd_tpu.broad_phase.sweep import merge_two_lists, sort_boxes
+    from scalable_ccd_tpu.narrow_phase import find_roots_bfs, gather_vf_queries
+    from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
+    from scalable_ccd_tpu.ops.pallas_sweep_ap import (
+        decode_pairs_ap, pack_boxes_ap, pallas_sweep_pairs,
+    )
+
+    v0, v1, E, F = _bench_scene()
+
+    @jax.jit
+    def prep(v0, v1, E, F):
+        vb = build_vertex_boxes(v0, v1, dtype=jnp.float32)
+        fb = build_face_boxes(vb, F)
+        return sort_boxes(merge_two_lists(vb, fb))
+
+    vfs = prep(v0, v1, E, F)
+    packed_vf, n_vf = pack_boxes_ap(vfs)
+    pairs, n_pairs, _, _ = pallas_sweep_pairs(
+        packed_vf, n_vf, True, budget=1 << 18, raw=True)
+    npp = int(jax.device_get(n_pairs))
+    Q = 1 << max((npp - 1).bit_length(), 10)
+    chunk = decode_pairs_ap(packed_vf, pairs[:Q], True)
+    valid = jnp.arange(Q) < npp
+    q = gather_vf_queries(v0, v1, F, chunk, dtype=jnp.float32)
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        toi = float(jax.device_get(out))
+        first = time.perf_counter() - t0
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.device_get(fn())
+            ts.append((time.perf_counter() - t0) * 1e3)
+        print(f"{name}: {statistics.median(ts):.1f} ms toi={toi:.6f} "
+              f"(first {first:.0f}s)", flush=True)
+        return toi
+
+    t_pal = timed(
+        f"solver kernel vf ({npp} queries)",
+        lambda: pallas_find_roots(
+            q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+            jnp.float32(1e-6))[0],
+    )
+    t_bfs = timed(
+        "bfs xla solver vf",
+        lambda: find_roots_bfs(
+            q, valid, True, toi_init=jnp.float32(1.0), ms=jnp.float32(0.0),
+            tolerance=jnp.float32(1e-6), max_iterations=-1).toi,
+    )
+    assert abs(t_pal - t_bfs) <= 1e-6, (t_pal, t_bfs)
+    print("solver parity OK", flush=True)
+
+
 def step_sparse_check():
     from tools.hw_sparse_check import main as sparse_main
 
@@ -162,6 +226,7 @@ def step_sharded():
 def main():
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     print("devices:", jax.devices(), flush=True)
+    _guard("0. solver kernel parity + timing", step_solver_check)
     _guard("1. layout parity + sweep timing", step_sparse_check)
     _guard("2. canonical bench, default path", step_bench_default)
     _guard("3. canonical bench per sweep impl", step_bench_impls)
