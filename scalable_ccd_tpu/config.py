@@ -131,6 +131,14 @@ class CCDConfig:
     #: order oracle twin).  All satisfy the same conservative contract.
     solver: str = "auto"
 
+    #: Staged-escalation round limit for the Pallas solver (global mode
+    #: only; -1 = off).  A solver block runs as long as its WORST lane's
+    #: DFS; with a limit, every block stops after that many rounds and
+    #: the straggler lanes are pooled into a compacted second unbounded
+    #: pass that prunes against the first pass's TOI — bitwise-identical
+    #: result, pure latency knob for lane-skewed batches.
+    escalate_rounds: int = -1
+
     #: DFS stack capacity per query in the narrow phase.  The reference uses
     #: a global ring buffer grown on overflow (``ccd_buffer.cuh:7-83``);
     #: our per-query stack instead *conservatively accepts* (reports the

@@ -107,6 +107,7 @@ def _solver_kernel(
     allow_zero_toi: bool,
     per_query: bool,
     max_iterations: int,
+    round_limit: int = -1,
 ):
     """One grid step = one 1024-query block.
 
@@ -117,8 +118,19 @@ def _solver_kernel(
     pair's time is exact.  ``max_iterations >= 0`` drops (never accepts)
     domains past the per-lane check count, matching the reference's
     bounded mode (``root_finder.cu:303-305`` returns without accepting).
+
+    ``round_limit >= 0`` is the staged-escalation bounded pass: the block
+    loop stops after that many rounds and lanes still mid-search are
+    reported in a per-lane ``unfin`` output plane INSTEAD of taking the
+    round-cap conservative accept — the caller re-solves exactly those
+    lanes (compacted across blocks) in a second unbounded call, so a
+    block never waits ``max_lane_rounds`` when the straggler tail can be
+    pooled.  Only meaningful with ``per_query=False``.
     """
-    if per_query:
+    if round_limit >= 0:
+        (toi_out_ref, ovf_out_ref, checks_out_ref, unfin_out_ref,
+         toi_run) = refs
+    elif per_query:
         (toi_out_ref, ovf_out_ref, checks_out_ref, pq_out_ref,
          toi_run) = refs
     else:
@@ -358,10 +370,12 @@ def _solver_kernel(
                 toi_blk, tpq, checks_lane, checks, ovf_i,
                 *path, dimcnt, rounds + 1)
 
+    round_cap = round_limit if round_limit >= 0 else _MAX_ROUNDS
+
     def cond(state):
         sp, cur_ok_i = state[6], state[7]
         rounds = state[-1]
-        return jnp.any((cur_ok_i != 0) | (sp > 0)) & (rounds < _MAX_ROUNDS)
+        return jnp.any((cur_ok_i != 0) | (sp > 0)) & (rounds < round_cap)
 
     zero = jnp.zeros((_SUB, _LANE), jnp.float32)
     one = jnp.ones((_SUB, _LANE), jnp.float32)
@@ -386,18 +400,30 @@ def _solver_kernel(
     checks, ovf_i = state[12], state[13]
     cur_ok = cur_ok_i != 0
 
-    # round cap: conservative-accept whatever is still alive or pending.
-    # pend_min is monotone (never raised on pop), so it is a valid lower
-    # bound for every unexplored sibling — stale-low is conservative.
     leftover = cur_ok | (sp > 0)
-    left_t = jnp.where(
-        cur_ok, jnp.minimum(lo0, pend_min),
-        jnp.where(sp > 0, pend_min, jnp.float32(jnp.inf)),
-    )
-    capped = jnp.any(leftover)
-    toi_blk = jnp.where(capped, jnp.minimum(toi_blk, jnp.min(left_t)), toi_blk)
-    tpq = jnp.minimum(tpq, left_t)
-    ovf_i = ovf_i | capped.astype(jnp.int32)
+    if round_limit >= 0:
+        # staged escalation: report the mid-search lanes instead of
+        # folding them — the caller's second pass solves them exactly,
+        # so neither the TOI nor the overflow flag absorbs the cap.
+        # Sound AND exact: pass-1 accepts are genuine subdomain accepts,
+        # and pruning only ever removes domains with min_t >= the final
+        # TOI, so min(pass1, pass2-from-scratch) == the unbounded result.
+        unfin_out_ref[0] = leftover.astype(jnp.int32)
+    else:
+        # round cap: conservative-accept whatever is still alive or
+        # pending.  pend_min is monotone (never raised on pop), so it is
+        # a valid lower bound for every unexplored sibling — stale-low
+        # is conservative.
+        left_t = jnp.where(
+            cur_ok, jnp.minimum(lo0, pend_min),
+            jnp.where(sp > 0, pend_min, jnp.float32(jnp.inf)),
+        )
+        capped = jnp.any(leftover)
+        toi_blk = jnp.where(
+            capped, jnp.minimum(toi_blk, jnp.min(left_t)), toi_blk
+        )
+        tpq = jnp.minimum(tpq, left_t)
+        ovf_i = ovf_i | capped.astype(jnp.int32)
 
     toi_new = jnp.minimum(toi_run[0, 0], toi_blk)
     toi_run[0, 0] = toi_new
@@ -409,75 +435,31 @@ def _solver_kernel(
         pq_out_ref[0] = jnp.where(valid, tpq, jnp.float32(jnp.inf))
 
 
-def _pack_queries(queries: CCDQueries, tol, err, ms_arr, n_blocks):
-    """(Q, 31) packed rows -> (n_blocks, 31, 8, 128) block planes."""
-    qpack = jnp.concatenate(
-        [queries.p0s, queries.p1s, queries.p2s, queries.p3s,
-         queries.p0e, queries.p1e, queries.p2e, queries.p3e,
-         tol, err, ms_arr[:, None]],
-        axis=1,
-    ).astype(jnp.float32)  # (Q, 31)
-    total = n_blocks * PALLAS_SOLVER_BLOCK
-    pad = total - qpack.shape[0]
-    if pad:
-        qpack = jnp.concatenate([qpack, jnp.zeros((pad, 31), jnp.float32)])
-    return jnp.transpose(
-        qpack.reshape(n_blocks, _SUB, _LANE, 31), (0, 3, 1, 2)
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "is_vf", "allow_zero_toi", "interpret", "toi_per_query",
-        "max_iterations",
-    ),
-)
-def pallas_find_roots(
-    queries: CCDQueries,
-    valid: jax.Array,
+def _find_roots_packed(
+    qrows,        # (Q, 31) packed query rows (see pallas_find_roots)
+    valid,        # (Q,) int32
     is_vf: bool,
     toi_init,
-    ms,
     tolerance,
-    allow_zero_toi: bool = True,
-    interpret: bool = False,
-    toi_per_query: bool = False,
-    max_iterations: int = -1,
+    allow_zero_toi: bool,
+    interpret: bool,
+    toi_per_query: bool,
+    max_iterations: int,
+    round_limit: int,
 ):
-    """Batched earliest-TOI solve on the TPU kernel.
-
-    Global mode (default): same contract as ``find_roots_bfs(...,
-    toi_per_query=False)`` — returns ``(toi, overflowed, total_checks)``
-    where ``toi`` is min(toi_init, earliest accepted time) and overflow
-    means a conservative accept was taken somewhere (result valid,
-    possibly early).
-
-    ``toi_per_query=True`` is the reference's TOI_PER_QUERY build
-    (``root_finder.cu:293-298,324-326``): returns ``(toi, overflowed,
-    total_checks, per_query_toi)`` with an exact ``(Q,)`` per-pair TOI
-    (+inf where no contact / invalid); lanes prune only against their own
-    TOI, so each entry is order-independent.
-
-    ``max_iterations >= 0`` bounds the per-query domain-check count,
-    dropping (not accepting) domains past it — the reference's bounded
-    mode, a speed/accuracy knob that is NOT conservative, identical to
-    the XLA solvers' semantics.
-    """
+    """One pallas_call over pre-packed rows; the two-pass escalation in
+    ``pallas_find_roots`` shares the packed array between its calls (one
+    row gather instead of re-gathering every ``CCDQueries`` field)."""
     dt = jnp.float32
-    Q = queries.n
+    Q = qrows.shape[0]
     n_blocks = -(-Q // PALLAS_SOLVER_BLOCK)
-
-    ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
-    err = jnp.where(
-        jnp.any(ms_arr > 0),
-        numerical_error_bound(queries, is_vf, True),
-        numerical_error_bound(queries, is_vf, False),
-    )
-    tol = compute_tolerance(queries, is_vf, tolerance)
-    qp = _pack_queries(queries, tol, err, ms_arr, n_blocks)
-
     total = n_blocks * PALLAS_SOLVER_BLOCK
+    pad = total - Q
+    if pad:
+        qrows = jnp.concatenate([qrows, jnp.zeros((pad, 31), dt)])
+    qp = jnp.transpose(
+        qrows.reshape(n_blocks, _SUB, _LANE, 31), (0, 3, 1, 2)
+    )
     v = jnp.zeros((total,), jnp.int32).at[: Q].set(valid.astype(jnp.int32))
     v = v.reshape(n_blocks, _SUB, _LANE)
 
@@ -487,6 +469,7 @@ def pallas_find_roots(
     kernel = functools.partial(
         _solver_kernel, is_vf=is_vf, allow_zero_toi=allow_zero_toi,
         per_query=toi_per_query, max_iterations=max_iterations,
+        round_limit=round_limit,
     )
     out_specs = [
         # whole-array SMEM refs: each grid step writes its own row
@@ -499,7 +482,7 @@ def pallas_find_roots(
         jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
         jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
     ]
-    if toi_per_query:
+    if round_limit >= 0 or toi_per_query:
         out_specs.append(
             pl.BlockSpec(
                 (1, _SUB, _LANE), lambda i: (i, 0, 0),
@@ -507,7 +490,10 @@ def pallas_find_roots(
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((n_blocks, _SUB, _LANE), dt)
+            jax.ShapeDtypeStruct(
+                (n_blocks, _SUB, _LANE),
+                jnp.int32 if round_limit >= 0 else dt,
+            )
         )
     outs = pl.pallas_call(
         kernel,
@@ -535,8 +521,105 @@ def pallas_find_roots(
     toi_b, ovf_b, checks_b = outs[:3]
     toi = jnp.min(toi_b)
     overflowed = jnp.any(ovf_b != 0)
+    checks = jnp.sum(checks_b)
+    if round_limit >= 0:
+        unfin = outs[3].reshape(total)[:Q]
+        return toi, overflowed, checks, unfin
     if toi_per_query:
         pq = outs[3].reshape(total)[:Q]
         toi = jnp.minimum(toi, jnp.min(pq, initial=jnp.inf))
-        return toi, overflowed, jnp.sum(checks_b), pq
-    return toi, overflowed, jnp.sum(checks_b)
+        return toi, overflowed, checks, pq
+    return toi, overflowed, checks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "is_vf", "allow_zero_toi", "interpret", "toi_per_query",
+        "max_iterations", "round_limit",
+    ),
+)
+def pallas_find_roots(
+    queries: CCDQueries,
+    valid: jax.Array,
+    is_vf: bool,
+    toi_init,
+    ms,
+    tolerance,
+    allow_zero_toi: bool = True,
+    interpret: bool = False,
+    toi_per_query: bool = False,
+    max_iterations: int = -1,
+    round_limit: int = -1,
+):
+    """Batched earliest-TOI solve on the TPU kernel.
+
+    Global mode (default): same contract as ``find_roots_bfs(...,
+    toi_per_query=False)`` — returns ``(toi, overflowed, total_checks)``
+    where ``toi`` is min(toi_init, earliest accepted time) and overflow
+    means a conservative accept was taken somewhere (result valid,
+    possibly early).
+
+    ``toi_per_query=True`` is the reference's TOI_PER_QUERY build
+    (``root_finder.cu:293-298,324-326``): returns ``(toi, overflowed,
+    total_checks, per_query_toi)`` with an exact ``(Q,)`` per-pair TOI
+    (+inf where no contact / invalid); lanes prune only against their own
+    TOI, so each entry is order-independent.
+
+    ``max_iterations >= 0`` bounds the per-query domain-check count,
+    dropping (not accepting) domains past it — the reference's bounded
+    mode, a speed/accuracy knob that is NOT conservative, identical to
+    the XLA solvers' semantics.
+
+    ``round_limit >= 0`` enables **staged escalation** (global mode
+    only): every block first runs at most ``round_limit`` DFS rounds; the
+    lanes still mid-search — a block otherwise runs as long as its WORST
+    lane — are compacted across all blocks (one stable sort + one packed
+    row gather) and re-solved from scratch in a second unbounded call
+    that prunes against the first pass's TOI.  The returned TOI is
+    bitwise identical to the unbounded single-pass result (pruning only
+    ever discards domains with ``min_t >=`` the final TOI), so this is a
+    pure skew/latency knob.  ``total_checks`` counts both passes (a
+    re-solved lane's pass-1 checks are retained, as real work done).
+    Ignored in ``toi_per_query`` and bounded-``max_iterations`` modes,
+    whose per-lane semantics the restart would change.
+    """
+    dt = jnp.float32
+    Q = queries.n
+    n_blocks = -(-Q // PALLAS_SOLVER_BLOCK)
+
+    ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
+    err = jnp.where(
+        jnp.any(ms_arr > 0),
+        numerical_error_bound(queries, is_vf, True),
+        numerical_error_bound(queries, is_vf, False),
+    )
+    tol = compute_tolerance(queries, is_vf, tolerance)
+    qrows = jnp.concatenate(
+        [queries.p0s, queries.p1s, queries.p2s, queries.p3s,
+         queries.p0e, queries.p1e, queries.p2e, queries.p3e,
+         tol, err, ms_arr[:, None]],
+        axis=1,
+    ).astype(dt)  # (Q, 31) — same field order the kernel unpacks
+
+    common = dict(
+        is_vf=is_vf, toi_init=toi_init, tolerance=tolerance,
+        allow_zero_toi=allow_zero_toi, interpret=interpret,
+        toi_per_query=toi_per_query, max_iterations=max_iterations,
+    )
+    if round_limit >= 0 and not toi_per_query and max_iterations < 0:
+        toi1, ovf1, checks1, unfin = _find_roots_packed(
+            qrows, valid, round_limit=round_limit, **common
+        )
+        # stragglers first (stable: preserves sweep locality within each
+        # group); only they stay valid — emptied trailing blocks exit
+        # their while loop on round one
+        order = jnp.argsort(-unfin)
+        qrows2 = jnp.take(qrows, order, axis=0)
+        v2 = jnp.take(unfin, order)
+        common["toi_init"] = toi1
+        toi, ovf2, checks2 = _find_roots_packed(
+            qrows2, v2, round_limit=-1, **common
+        )
+        return toi, ovf1 | ovf2, checks1 + checks2
+    return _find_roots_packed(qrows, valid, round_limit=-1, **common)

@@ -199,6 +199,7 @@ def _partial_ccd(
                     interpret=_pallas_interpret(),
                     toi_per_query=need_pq,
                     max_iterations=max_iter,
+                    round_limit=config.escalate_rounds,
                 )
                 toi_k, capped_k, checks_k = out[:3]
                 toi = float(toi_k)

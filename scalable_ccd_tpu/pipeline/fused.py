@@ -474,6 +474,7 @@ def _phase(
     collect: bool = False,
     ipc_refine: bool = False,
     any_order: bool = False,
+    escalate_rounds: int = -1,
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
 
@@ -658,6 +659,7 @@ def _phase(
                 interpret=_pallas_interpret(),
                 toi_per_query=collect,
                 max_iterations=max_iter,
+                round_limit=escalate_rounds,
             )
             toi_k, capped_k, checks_k = out[:3]
             pq = out[3] if collect else None
@@ -912,6 +914,7 @@ def fused_ccd_core(
     collect: bool = False,
     ipc_refine: bool = False,
     bucket_minor: bool = False,
+    escalate_rounds: int = -1,
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
 
@@ -956,6 +959,7 @@ def fused_ccd_core(
         solver=solver,
         sweep_impl=sweep_impl,
         any_order=bucket_minor,
+        escalate_rounds=escalate_rounds,
     )
     toi0 = jnp.asarray(1.0, dtype)
     if collect:
@@ -1022,6 +1026,7 @@ def fused_ccd_core(
         "collect",
         "ipc_refine",
         "bucket_minor",
+        "escalate_rounds",
     ),
 )
 def _fused_ccd_jit(
@@ -1048,6 +1053,7 @@ def _fused_ccd_jit(
     collect: bool = False,
     ipc_refine: bool = False,
     bucket_minor: bool = False,
+    escalate_rounds: int = -1,
 ) -> FusedCCDResult:
     return fused_ccd_core(
         vertices_t0,
@@ -1074,6 +1080,7 @@ def _fused_ccd_jit(
         collect=collect,
         ipc_refine=ipc_refine,
         bucket_minor=bucket_minor,
+        escalate_rounds=escalate_rounds,
     )
 
 

@@ -301,3 +301,44 @@ def test_fused_pipeline_pallas_solver_matches_bfs():
     assert float(r_pal.toi) == pytest.approx(float(r_bfs.toi), abs=1e-6)
     assert not bool(r_pal.solver_capped)
     assert not bool(r_bfs.solver_capped)
+
+
+@pytest.mark.parametrize("is_vf", [True, False])
+@pytest.mark.parametrize("round_limit", [0, 1, 7])
+def test_kernel_staged_escalation_exact(is_vf, round_limit):
+    """round_limit pools stragglers into a second pass; the global TOI is
+    bitwise-identical to the unbounded single pass (pruning can only drop
+    domains with min_t >= the final TOI, and pass 2 re-solves every
+    unfinished lane from scratch)."""
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, is_vf)
+    valid = jnp.ones((q.n,), bool)
+    toi_ref, ovf_ref, checks_ref = pallas_find_roots(
+        q, valid, is_vf, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    toi, ovf, checks = pallas_find_roots(
+        q, valid, is_vf, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True, round_limit=round_limit,
+    )
+    assert not bool(ovf_ref) and not bool(ovf)
+    assert float(toi) == float(toi_ref)
+    assert int(checks) > 0
+
+
+def test_fused_pipeline_escalation_matches_plain():
+    scene = cloth_on_sphere(grid_n=10, sphere_subdiv=1, drop=0.6)
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    args = (
+        jnp.asarray(scene.vertices_t0, jnp.float32),
+        jnp.asarray(scene.vertices_t1, jnp.float32),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+    kw = dict(vf_budget=1 << 14, ee_budget=1 << 14, dtype=jnp.float32,
+              solver="pallas")
+    r_plain = fused_ccd(*args, **kw)
+    r_esc = fused_ccd(*args, escalate_rounds=16, **kw)
+    assert float(r_esc.toi) == float(r_plain.toi)
+    assert bool(r_esc.solver_capped) == bool(r_plain.solver_capped)
