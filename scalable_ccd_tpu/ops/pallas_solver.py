@@ -127,6 +127,10 @@ def _solver_kernel(
     block never waits ``max_lane_rounds`` when the straggler tail can be
     pooled.  Only meaningful with ``per_query=False``.
     """
+    # per_query + round_limit is rejected here (not just in the public
+    # wrapper): the epilogue below would otherwise reference the unbound
+    # pq_out_ref at trace time
+    assert not (round_limit >= 0 and per_query)
     if round_limit >= 0:
         (toi_out_ref, ovf_out_ref, checks_out_ref, unfin_out_ref,
          toi_run) = refs
@@ -405,9 +409,14 @@ def _solver_kernel(
         # staged escalation: report the mid-search lanes instead of
         # folding them — the caller's second pass solves them exactly,
         # so neither the TOI nor the overflow flag absorbs the cap.
-        # Sound AND exact: pass-1 accepts are genuine subdomain accepts,
-        # and pruning only ever removes domains with min_t >= the final
-        # TOI, so min(pass1, pass2-from-scratch) == the unbounded result.
+        # Sound AND exact ABSENT stack/dim-cap overflow accepts: pass-1
+        # accepts are genuine subdomain accepts, and pruning only ever
+        # removes domains with min_t >= the final TOI, so
+        # min(pass1, pass2-from-scratch) == the unbounded result.  If an
+        # overflow conservative-accept fires, its accept value depends on
+        # the running-bound trajectory (which differs between the passes
+        # and the single pass), so TOI/overflow may diverge — both
+        # remain conservative (earlier-or-equal TOI, flag set).
         unfin_out_ref[0] = leftover.astype(jnp.int32)
     else:
         # round cap: conservative-accept whatever is still alive or
@@ -576,10 +585,18 @@ def pallas_find_roots(
     lanes still mid-search — a block otherwise runs as long as its WORST
     lane — are compacted across all blocks (one stable sort + one packed
     row gather) and re-solved from scratch in a second unbounded call
-    that prunes against the first pass's TOI.  The returned TOI is
-    bitwise identical to the unbounded single-pass result (pruning only
-    ever discards domains with ``min_t >=`` the final TOI), so this is a
-    pure skew/latency knob.  ``total_checks`` counts both passes (a
+    that prunes against the first pass's TOI.  Absent stack/dim-cap
+    overflow conservative-accepts, the returned TOI is bitwise identical
+    to the unbounded single-pass result (pruning only ever discards
+    domains with ``min_t >=`` the final TOI), so this is a pure
+    skew/latency knob; when an overflow accept does fire its value
+    depends on the running-bound trajectory, so the TOI and overflow
+    flag may diverge from the single pass — both stay conservative.
+    Fixed per-batch overhead: the Q-element argsort, the full ``(Q, 31)``
+    row gather, and a second full-grid ``pallas_call`` run even when no
+    lane escalates, so enable it only where lane skew measurably
+    dominates (~0.1 ms per 16k-query batch, PERF.md).
+    ``total_checks`` counts both passes (a
     re-solved lane's pass-1 checks are retained, as real work done).
     Ignored in ``toi_per_query`` and bounded-``max_iterations`` modes,
     whose per-lane semantics the restart would change.

@@ -46,6 +46,19 @@ __all__ = ["make_sharded_ccd", "sharded_ccd", "default_mesh"]
 AXIS = "ccd"
 
 
+def _resolve_auto_solver(solver, max_iterations, dtype, interpret):
+    """Resolve ``solver="auto"`` exactly like single-chip ``fused_ccd``:
+    the Mosaic kernel only for f32 + unbounded iterations + real hardware;
+    the XLA BFS solver otherwise.  Precision is a contract — an f64
+    request must never silently compute in f32 (reference
+    ``SCALABLE_CCD_USE_DOUBLE``, ``config.hpp.in:12``)."""
+    if solver != "auto":
+        return solver
+    exact = max_iterations >= 0
+    f32 = jnp.dtype(dtype) == jnp.float32
+    return "bfs" if (exact or not f32 or interpret) else "pallas"
+
+
 def default_mesh(devices=None) -> Mesh:
     """A 1-D mesh over all (or the given) devices."""
     import numpy as np
@@ -94,9 +107,8 @@ def make_sharded_ccd(
 
     if sweep_impl == "auto":
         sweep_impl = "xla" if _pallas_interpret() else "pallas_ap"
-    if solver == "auto":
-        exact = max_iterations >= 0
-        solver = "bfs" if (exact or _pallas_interpret()) else "pallas"
+    solver = _resolve_auto_solver(
+        solver, max_iterations, dtype, _pallas_interpret())
 
     def step(v0, v1, edges, faces, min_distance, tolerance):
         bm = bucket_minor

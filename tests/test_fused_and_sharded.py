@@ -175,6 +175,42 @@ class TestSharded:
         assert int(auto.vf_total) == int(off.vf_total)
         assert int(auto.ee_total) == int(off.ee_total)
 
+    def test_auto_solver_respects_dtype(self):
+        """``solver="auto"`` must never pick the f32-computing Mosaic
+        kernel for an f64 request (precision is a contract — reference
+        ``SCALABLE_CCD_USE_DOUBLE``, ``config.hpp.in:12``), mirroring
+        ``fused_ccd``'s guard on the sharded path."""
+        from scalable_ccd_tpu.parallel.sharded import _resolve_auto_solver
+
+        # hardware (interpret=False): kernel only for f32 + unbounded
+        assert _resolve_auto_solver(
+            "auto", -1, jnp.float32, False) == "pallas"
+        assert _resolve_auto_solver("auto", -1, jnp.float64, False) == "bfs"
+        assert _resolve_auto_solver("auto", 100, jnp.float32, False) == "bfs"
+        # interpret mode always falls back to the XLA solver
+        assert _resolve_auto_solver("auto", -1, jnp.float32, True) == "bfs"
+        # explicit choices pass through untouched
+        assert _resolve_auto_solver(
+            "pallas", -1, jnp.float64, False) == "pallas"
+
+    def test_sharded_f64_executes_in_f64(self, scene):
+        """An f64 sharded request under solver="auto" must actually run
+        (the auto guard routes it to the XLA solver) and agree with the
+        single-chip f64 fused path."""
+        args = _args(scene, jnp.float64)
+        mesh = default_mesh(jax.devices()[:2])
+        fn = make_sharded_ccd(
+            mesh, vf_budget_per_shard=1 << 12, ee_budget_per_shard=1 << 12,
+            dtype=jnp.float64, sweep_impl="xla",
+        )
+        res = fn(*args, jnp.float64(0.0), jnp.float64(1e-6))
+        single = fused_ccd(
+            *args, vf_budget=1 << 12, ee_budget=1 << 12,
+            dtype=jnp.float64, sweep_impl="xla", solver=None,
+        )
+        assert res.toi.dtype == jnp.float64
+        assert float(res.toi) == float(single.toi)
+
     def test_auto_budget_matches_explicit(self, scene):
         """Default ("auto") budgets must reproduce the explicit-budget
         result exactly and never report overflow."""
