@@ -180,8 +180,12 @@ def sort_boxes(
     # Apply the reorder as ONE stacked row gather (two in f64): gathers
     # cost ~10 ns/ROW regardless of row width (PERF.md), so six per-field
     # gathers pay 6x what one (n, 10) gather does — measured ~175 ms of
-    # the 210 ms sort_boxes total at 3M boxes.  Int fields ride along
-    # bitcast to f32 (the gather moves bits, no arithmetic touches them).
+    # the 210 ms sort_boxes total at 3M boxes.  The stack rides in the
+    # **i32 domain** (floats bitcast to i32, NOT ints to f32): integer
+    # data movement is always bit-exact, whereas XLA:TPU may flush or
+    # canonicalize f32 values whose bit patterns happen to be denormals /
+    # NaNs — which is exactly what small ids and sentinel ids look like
+    # when bitcast to f32 (hardware-observed corruption, round 4).
     f_cols = jnp.stack(
         [major_min, major_max,
          minor_min[:, 0], minor_min[:, 1],
@@ -190,11 +194,11 @@ def sort_boxes(
     i_cols = jnp.concatenate([vertex_ids, element_id[:, None]], axis=1)
     if f_cols.dtype == jnp.float32:
         stacked = jnp.concatenate(
-            [f_cols, jax.lax.bitcast_convert_type(i_cols, jnp.float32)],
+            [jax.lax.bitcast_convert_type(f_cols, jnp.int32), i_cols],
             axis=1,
         )[order]
-        f_g = stacked[:, :6]
-        i_g = jax.lax.bitcast_convert_type(stacked[:, 6:], jnp.int32)
+        f_g = jax.lax.bitcast_convert_type(stacked[:, :6], jnp.float32)
+        i_g = stacked[:, 6:]
     else:
         f_g = f_cols[order]
         i_g = i_cols[order]

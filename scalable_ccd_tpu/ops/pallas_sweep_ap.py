@@ -182,9 +182,11 @@ def pack_boxes_ap(
         extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
         thr = long_extent_factor * jnp.mean(extent)
         # stable partition: short boxes first, long boxes after, each class
-        # in sorted-position order; ONE row gather applies it (the i32
-        # columns ride along bitcast to f32 — gathers move bits only and
-        # cost ~10 ns/row regardless of width, PERF.md)
+        # in sorted-position order; ONE row gather applies it in the i32
+        # domain (f32 columns ride along bitcast to i32 — integer moves
+        # are bit-exact, while XLA:TPU flushes/canonicalizes f32 bit
+        # patterns that look like denormals/NaNs, i.e. precisely what
+        # i32 ids bitcast to f32 are; ~10 ns/row either way, PERF.md)
         order = jnp.argsort((extent > thr).astype(jnp.int32), stable=True)
     else:
         # small scenes: subtile skew is cheap, the permutation gather is not
@@ -200,11 +202,11 @@ def pack_boxes_ap(
 
     if order is not None:
         stacked = jnp.concatenate(
-            [f_cols, jax.lax.bitcast_convert_type(i_cols, jnp.float32)],
+            [jax.lax.bitcast_convert_type(f_cols, jnp.int32), i_cols],
             axis=1,
         )[order]
-        f_perm = stacked[:, :6]
-        i_perm = jax.lax.bitcast_convert_type(stacked[:, 6:], jnp.int32)
+        f_perm = jax.lax.bitcast_convert_type(stacked[:, :6], jnp.float32)
+        i_perm = stacked[:, 6:]
         bf6 = planes(f_perm, f_fill, None)
         bi = planes(i_perm, i_fill, None)
     else:
@@ -818,10 +820,19 @@ def _sweep_kernel(
                         )
                         # 4. one-hot placement matmul (exact in f32)
                         df = (lane64 == dst).astype(jnp.float32)
+                        # precision=HIGHEST is load-bearing: the MXU's
+                        # DEFAULT f32 precision truncates operands to
+                        # bf16 (8-bit mantissa), silently corrupting
+                        # halfwords >= 2^8 ON HARDWARE while interpret
+                        # mode stays exact f32 (the round-4 hw-suite
+                        # pair-set mismatch).  With the multi-pass bf16
+                        # decomposition the one-hot x halfword products
+                        # are exact (< 2^16, one nonzero term per lane).
                         out = jax.lax.dot_general(
                             df, rf,
                             dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
                         )  # (128, 128): row = dst, lanes = halfword rec
                         oi = out[:_MXU_STAGE].astype(jnp.int32)
                         # 5. recombine + select into the staging ring
@@ -1315,8 +1326,11 @@ def pallas_sweep_records(
       dominant cost.
 
     Returns ``(records, n_records, n_pairs, overflow)`` where ``records``
-    is ``(R, 8)`` int32 with valid rows
-    ``[0, n_records)`` and ``n_pairs`` the exact surviving-pair total;
+    is the tiled ``(rec_rows, 128)`` int32 buffer — record ``r`` at
+    ``[r >> 4, (r & 15) * 8 : +8]``, valid records ``[0, n_records)``;
+    only :func:`records_pair_prefix` / :func:`decode_records_range`
+    should index it (an ``(R, 8)`` view would tile-pad 16x in HBM).
+    ``n_pairs`` is the exact surviving-pair total;
     ``overflow`` means the pair or record budget was exceeded
     (records/pairs missing — retry or fall back).  ``rec_budget``
     defaults to ``pair_budget`` (every record holds at least one pair,
@@ -1397,8 +1411,13 @@ def pallas_sweep_records(
         jnp.asarray(tile0, jnp.int32).reshape(1, 1),
         bf, bi, wf, wi,
     )
-    records = recs.reshape(-1, _REC_WORDS)  # (rec_rows * 16, 8)
-    return records, n_recs[0, 0], n_pairs[0, 0], ovf[0, 0] != 0
+    # recs stays in the kernel's native (rec_rows, 128) layout: a
+    # (rec_rows*16, 8) reshape looks natural but its TPU tiled layout
+    # pads the 8-wide minor dim to 128 lanes — 16x the HBM (a 2^25 pair
+    # budget ballooned to 17 GB and failed to compile, round-4 hw suite).
+    # Record r lives at [r >> 4, (r & 15) * 8 : +8]; only
+    # records_pair_prefix / decode_records_range index it.
+    return recs, n_recs[0, 0], n_pairs[0, 0], ovf[0, 0] != 0
 
 
 def records_pair_prefix(records, n_records):
@@ -1407,15 +1426,24 @@ def records_pair_prefix(records, n_records):
     Garbage rows at/past ``n_records`` (never DMA'd) are masked to zero,
     so the cumulative sum ends at the exact pair total and stays
     monotone for the binary-search decode.
+
+    ``records`` is the tiled ``(rec_rows, 128)`` buffer (16 records of 8
+    words per row; a record's pair count is the popcount of its words
+    0-3).  The 8-lane group sums run as three shifted adds in the
+    128-lane domain — no minor-dim-8 reshape, whose padded TPU layout
+    would cost 16x the HBM.
     """
-    pc = (
-        jax.lax.population_count(records[:, 0])
-        + jax.lax.population_count(records[:, 1])
-        + jax.lax.population_count(records[:, 2])
-        + jax.lax.population_count(records[:, 3])
-    )
-    rows = jnp.arange(records.shape[0], dtype=jnp.int32)
-    return jnp.cumsum(jnp.where(rows < n_records, pc, 0), dtype=jnp.int32)
+    pc = jax.lax.population_count(records)  # (rec_rows, 128)
+    col = jnp.arange(_LANE, dtype=jnp.int32)
+    pc = jnp.where((col % _REC_WORDS) < 4, pc, 0)
+    for s in (1, 2, 4):
+        pc = pc + jnp.roll(pc, -s, axis=1)
+    # lane 8k now holds the word-sum of record k in its row (the roll
+    # wrap only contaminates lanes > 120, never read)
+    per_rec = pc[:, ::_REC_WORDS].reshape(-1)  # (rec_rows * 16,)
+    rows = jnp.arange(per_rec.shape[0], dtype=jnp.int32)
+    return jnp.cumsum(jnp.where(rows < n_records, per_rec, 0),
+                      dtype=jnp.int32)
 
 
 def decode_records_range(
@@ -1436,7 +1464,7 @@ def decode_records_range(
     from scalable_ccd_tpu.ops import searchsorted_sorted
 
     bf, bi, wf, wi = packed
-    R = records.shape[0]
+    R = records.shape[0] * _REC_PER_ROW  # tiled (rec_rows, 128) buffer
     p = start + jnp.arange(batch, dtype=jnp.int32)
     valid = p < n_pairs
 
@@ -1444,7 +1472,16 @@ def decode_records_range(
     cum_win = jax.lax.dynamic_slice_in_dim(cum, r_lo_c, batch + 1)
     r = r_lo_c + searchsorted_sorted(cum_win, p, side="right").astype(jnp.int32)
     r_c = jnp.minimum(r, R - 1)
-    rec = records[r_c]  # (batch, 8) row gather
+    # record r_c lives at [r_c >> 4, (r_c & 15) * 8 : +8] of the tiled
+    # buffer: one (batch, 128) row gather (~10 ns/row regardless of
+    # width, PERF.md) + an 8-lane take_along_axis
+    rec_rows_g = records[r_c >> 4]  # (batch, 128)
+    word_base = (r_c & (_REC_PER_ROW - 1)) * _REC_WORDS
+    rec = jnp.take_along_axis(
+        rec_rows_g,
+        word_base[:, None] + jnp.arange(_REC_WORDS, dtype=jnp.int32),
+        axis=1,
+    )  # (batch, 8)
     excl = jnp.where(r_c > 0, cum[jnp.maximum(r_c - 1, 0)], 0)
     k = p - excl  # k-th set bit of this record
 
