@@ -132,12 +132,20 @@ class CCDConfig:
     solver: str = "auto"
 
     #: Staged-escalation round limit for the Pallas solver (global mode
-    #: only; -1 = off).  A solver block runs as long as its WORST lane's
-    #: DFS; with a limit, every block stops after that many rounds and
-    #: the straggler lanes are pooled into a compacted second unbounded
-    #: pass that prunes against the first pass's TOI — bitwise-identical
-    #: result, pure latency knob for lane-skewed batches.
-    escalate_rounds: int = -1
+    #: only; -2 = auto, -1 = off).  A solver block runs as long as its
+    #: WORST lane's DFS; with a limit, every block stops after that many
+    #: rounds and the straggler lanes are pooled into a compacted second
+    #: unbounded pass that prunes against the first pass's TOI —
+    #: bitwise-identical result absent overflow conservative-accepts.
+    #: Auto escalates at 256 rounds on the Pallas global path (~4-8x the
+    #: measured median lane depth; 99.97% of bench-scale lanes finish
+    #: within it), which keeps the solver round-cap's stale-pending-min
+    #: conservative accept unreachable by policy.  The second stage is
+    #: count-proportional (``lax.cond`` skips it when no lane escalates;
+    #: a one-block straggler pool covers up to 1024): measured ~1 ms per
+    #: narrow batch, ~5% of the bench frame (PERF.md round-4); force
+    #: ``-1`` where raw latency beats the guarantee.
+    escalate_rounds: int = -2
 
     #: DFS stack capacity per query in the narrow phase.  The reference uses
     #: a global ring buffer grown on overflow (``ccd_buffer.cuh:7-83``);

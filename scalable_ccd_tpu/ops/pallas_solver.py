@@ -592,10 +592,12 @@ def pallas_find_roots(
     skew/latency knob; when an overflow accept does fire its value
     depends on the running-bound trajectory, so the TOI and overflow
     flag may diverge from the single pass — both stay conservative.
-    Fixed per-batch overhead: the Q-element argsort, the full ``(Q, 31)``
-    row gather, and a second full-grid ``pallas_call`` run even when no
-    lane escalates, so enable it only where lane skew measurably
-    dominates (~0.1 ms per 16k-query batch, PERF.md).
+    The second stage is count-proportional (``lax.cond``): nothing runs
+    when no lane escalates; up to one solver block of stragglers is
+    pooled with a cumsum + searchsorted + K-row gather (no argsort, no
+    full-grid call); only a straggler count above one block falls back
+    to the full stable-sorted pass.  Remaining always-on overhead is the
+    bounded pass's own ``unfin`` plane + the count reduction.
     ``total_checks`` counts both passes (a
     re-solved lane's pass-1 checks are retained, as real work done).
     Ignored in ``toi_per_query`` and bounded-``max_iterations`` modes,
@@ -628,15 +630,47 @@ def pallas_find_roots(
         toi1, ovf1, checks1, unfin = _find_roots_packed(
             qrows, valid, round_limit=round_limit, **common
         )
-        # stragglers first (stable: preserves sweep locality within each
-        # group); only they stay valid — emptied trailing blocks exit
-        # their while loop on round one
-        order = jnp.argsort(-unfin)
-        qrows2 = jnp.take(qrows, order, axis=0)
-        v2 = jnp.take(unfin, order)
-        common["toi_init"] = toi1
-        toi, ovf2, checks2 = _find_roots_packed(
-            qrows2, v2, round_limit=-1, **common
+        # The second pass is count-proportional (round-4: the always-on
+        # Q argsort + full-Q gather + full-grid second call cost
+        # +2.4-4.5 ms PER narrow batch — ~10% of a bench frame — even
+        # with zero stragglers).  lax.cond executes exactly one branch
+        # on device:
+        #   count == 0  -> skip: pass-1 result is already the answer;
+        #   count <= K  -> pool the stragglers (in original order, so
+        #                  sweep locality survives) into ONE solver
+        #                  block via cumsum + searchsorted + a K-row
+        #                  gather — no argsort, no full-grid call;
+        #   count >  K  -> the full stable-sorted pass (pathological
+        #                  skew; stragglers first, emptied trailing
+        #                  blocks exit their while loop on round one).
+        count = jnp.sum(unfin)
+        K = PALLAS_SOLVER_BLOCK
+        common2 = dict(common, toi_init=toi1)
+
+        def _skip(_):
+            return toi1, jnp.zeros((), bool), jnp.zeros_like(checks1)
+
+        def _small(_):
+            cum = jnp.cumsum(unfin)
+            idx = jnp.searchsorted(
+                cum, jnp.arange(1, K + 1, dtype=cum.dtype), side="left"
+            )
+            idx = jnp.minimum(idx, Q - 1)
+            q2 = jnp.take(qrows, idx, axis=0)
+            v2 = (jnp.arange(K, dtype=jnp.int32) < count).astype(jnp.int32)
+            return _find_roots_packed(q2, v2, round_limit=-1, **common2)
+
+        def _full(_):
+            order = jnp.argsort(-unfin)
+            qrows2 = jnp.take(qrows, order, axis=0)
+            v2 = jnp.take(unfin, order)
+            return _find_roots_packed(qrows2, v2, round_limit=-1, **common2)
+
+        toi, ovf2, checks2 = jax.lax.cond(
+            count == 0,
+            _skip,
+            lambda op: jax.lax.cond(count <= K, _small, _full, op),
+            None,
         )
         return toi, ovf1 | ovf2, checks1 + checks2
     return _find_roots_packed(qrows, valid, round_limit=-1, **common)

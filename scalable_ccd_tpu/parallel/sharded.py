@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from scalable_ccd_tpu.pipeline.fused import FusedCCDResult, fused_ccd_core
+from scalable_ccd_tpu.pipeline.fused import (
+    FusedCCDResult,
+    FusedCollisionsResult,
+    fused_ccd_core,
+)
 
 try:  # jax >= 0.6
     from jax import shard_map as _shard_map
@@ -83,11 +87,20 @@ def make_sharded_ccd(
     solver: str = "auto",
     ipc_refine: bool = False,
     bucket_minor="auto",
+    collect: bool = False,
+    escalate_rounds: Optional[int] = None,
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.
 
     Returns ``fn(v0, v1, edges, faces, min_distance, tolerance) ->``
     :class:`FusedCCDResult` with all inputs/outputs replicated.
+
+    ``collect=True`` returns :class:`FusedCollisionsResult` instead — the
+    reference's ``TOI_PER_QUERY`` per-pair hit list
+    (``narrow_phase.cu:197-202``), assembled on-device: each shard solves
+    its load-balanced candidate stripe in exact per-query mode, compacts
+    its hits, and one ``all_gather`` per phase builds the replicated
+    global list (identical on every shard, no host in the loop).
 
     ``sweep_impl``/``solver`` default to the Mosaic hardware kernels on
     TPU (the same flagship path as single-chip :func:`fused_ccd`: the
@@ -106,9 +119,16 @@ def make_sharded_ccd(
     )
 
     if sweep_impl == "auto":
-        sweep_impl = "xla" if _pallas_interpret() else "pallas_ap"
+        # same hardware winner as single-chip fused_ccd (round-4
+        # measurements): MXU bit-record emission + per-shard one-shot
+        # decode; XLA twin off-TPU
+        sweep_impl = "xla" if _pallas_interpret() else "pallas_mxu"
     solver = _resolve_auto_solver(
         solver, max_iterations, dtype, _pallas_interpret())
+    from scalable_ccd_tpu.pipeline.fused import _resolve_auto_escalation
+
+    escalate_rounds = _resolve_auto_escalation(
+        escalate_rounds, solver, max_iterations)
 
     def step(v0, v1, edges, faces, min_distance, tolerance):
         bm = bucket_minor
@@ -139,16 +159,27 @@ def make_sharded_ccd(
             solver=solver,
             ipc_refine=ipc_refine,
             bucket_minor=bm,
+            collect=collect,
+            escalate_rounds=escalate_rounds,
             axis_name=AXIS,
         )
 
+    if collect:
+        out_specs = FusedCollisionsResult(
+            toi=P(), overflowed=P(), vf_total=P(), ee_total=P(),
+            total_checks=P(), solver_capped=P(),
+            vf_hits=P(), vf_hit_toi=P(), vf_hit_count=P(),
+            ee_hits=P(), ee_hit_toi=P(), ee_hit_count=P(),
+        )
+    else:
+        out_specs = FusedCCDResult(toi=P(), overflowed=P(), vf_total=P(),
+                                   ee_total=P(), total_checks=P(),
+                                   solver_capped=P())
     sharded = _shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=FusedCCDResult(toi=P(), overflowed=P(), vf_total=P(),
-                              ee_total=P(), total_checks=P(),
-                              solver_capped=P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -163,22 +194,50 @@ def sharded_ccd(
     min_distance=0.0,
     tolerance=1e-6,
     validate: bool = True,
+    collisions: Optional[list] = None,
     **kwargs,
 ) -> FusedCCDResult:
     """One-shot multi-chip CCD (convenience wrapper over
-    :func:`make_sharded_ccd`)."""
+    :func:`make_sharded_ccd`).
+
+    Pass a ``collisions`` list to also collect per-pair ``(id_a, id_b,
+    toi)`` hits — the same ``TOI_PER_QUERY`` convention as single-chip
+    :func:`scalable_ccd_tpu.pipeline.fused.fused_ccd`; the replicated
+    global hit list is assembled on-device (see :func:`make_sharded_ccd`).
+    """
     if validate:
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
 
         validate_mesh_inputs(vertices_t0, vertices_t1, edges, faces)
     mesh = default_mesh() if mesh is None else mesh
-    fn = make_sharded_ccd(mesh, **kwargs)
+    fn = make_sharded_ccd(mesh, collect=collisions is not None, **kwargs)
     dtype = kwargs.get("dtype", jnp.float32)
-    return fn(
+    res = fn(
         jnp.asarray(vertices_t0),
         jnp.asarray(vertices_t1),
         jnp.asarray(edges, jnp.int32),
         jnp.asarray(faces, jnp.int32),
         jnp.asarray(min_distance, dtype),
         jnp.asarray(tolerance, dtype),
+    )
+    if collisions is None:
+        return res
+
+    import numpy as np
+
+    for hits, tois, count in (
+        (res.vf_hits, res.vf_hit_toi, res.vf_hit_count),
+        (res.ee_hits, res.ee_hit_toi, res.ee_hit_count),
+    ):
+        n = int(count)
+        if n:
+            h = np.asarray(hits[:n])
+            t = np.asarray(tois[:n])
+            collisions.extend(
+                (int(a), int(b), float(ti)) for (a, b), ti in zip(h, t)
+            )
+    return FusedCCDResult(
+        toi=res.toi, overflowed=res.overflowed,
+        vf_total=res.vf_total, ee_total=res.ee_total,
+        total_checks=res.total_checks, solver_capped=res.solver_capped,
     )

@@ -191,6 +191,10 @@ def _partial_ccd(
                 # bounded iterations; f64 requests use the XLA solver below
                 from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
 
+                from scalable_ccd_tpu.pipeline.fused import (
+                    _resolve_auto_escalation,
+                )
+
                 need_pq = config.toi_per_query or collisions is not None
                 out = pallas_find_roots(
                     q, valid, is_vf, jnp.asarray(toi, dtype),
@@ -199,7 +203,9 @@ def _partial_ccd(
                     interpret=_pallas_interpret(),
                     toi_per_query=need_pq,
                     max_iterations=max_iter,
-                    round_limit=config.escalate_rounds,
+                    round_limit=_resolve_auto_escalation(
+                        config.escalate_rounds, "pallas", max_iter
+                    ),
                 )
                 toi_k, capped_k, checks_k = out[:3]
                 toi = float(toi_k)

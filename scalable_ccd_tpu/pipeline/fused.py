@@ -110,6 +110,33 @@ def _pow2ceil(n: int) -> int:
 #: grown budgets, later frames of the same scene-size class start there
 _AUTO_BUDGET_MEMO: dict = {}
 
+#: default staged-escalation round limit for the Pallas solver's global
+#: mode — ~4-8x the measured median lane depth (hardware probe, round 4:
+#: 99.2% of bench-scale lanes finish within 128 DFS rounds, 99.97%
+#: within 256; with the count-proportional second stage the overhead at
+#: 256 is ~1 ms per narrow batch — ~5% of the bench frame, see PERF.md
+#: round-4).  Keeps the ``_MAX_ROUNDS`` stale-pending-min
+#: conservative accept unreachable by policy: a skewed batch pools its
+#: stragglers into the exact second pass instead of collapsing the TOI
+#: toward 0 (the reference re-runs rather than degrades,
+#: ``narrow_phase.cu:146-195``).
+_AUTO_ESCALATE_ROUNDS = 256
+
+
+def _resolve_auto_escalation(escalate_rounds, solver: str,
+                             max_iterations: int) -> int:
+    """Resolve ``escalate_rounds`` auto (``None`` or the config sentinel
+    ``-2``): staged escalation at ``_AUTO_ESCALATE_ROUNDS`` on the Pallas
+    solver's exact global path, off elsewhere (``pallas_find_roots``
+    ignores it in per-query / bounded-iteration modes anyway; the XLA
+    solvers have no lane skew — their while loop retires each query
+    independently)."""
+    if escalate_rounds is not None and escalate_rounds != -2:
+        return escalate_rounds
+    if solver == "pallas" and max_iterations < 0:
+        return _AUTO_ESCALATE_ROUNDS
+    return -1
+
 __all__ = [
     "FusedCCDResult",
     "FusedCollisionsResult",
@@ -148,7 +175,10 @@ class FusedCollisionsResult(NamedTuple):
     ``SCALABLE_CCD_TOI_PER_QUERY`` output (``narrow_phase.cu:197-202``:
     ``thrust::copy_if(toi < 1)`` into a host collision list) from the
     single-dispatch pipeline.  Hit buffers are budget-sized with the valid
-    prefix length in ``*_hit_count``."""
+    prefix length in ``*_hit_count``.  Under ``shard_map`` the hit list is
+    assembled on-device with one extra ``all_gather`` per phase and is
+    replicated (identical on every shard); buffers are then
+    ``n_shards * (budget + batch)`` rows."""
 
     toi: jax.Array
     overflowed: jax.Array
@@ -710,15 +740,115 @@ def _phase(
         )
         return toi_after, ck + ck_r, capped_b | capped_r
 
-    if collect:
-        if axis_name is not None:
-            # the per-pair buffers below are per-shard and the early
-            # return would skip the pooled/pmin'd multi-chip loop —
-            # silently wrong global TOI, so refuse loudly
-            raise ValueError(
-                "collect (per-pair collisions) mode is single-chip; run "
-                "fused_ccd(collisions=...) without a mesh"
+    def balance_sharded():
+        """Pool + load-balance the per-shard candidate buffers: one
+        ``all_gather`` of the budget-sized buffers, then each shard takes
+        the me-th stripe OF EACH SOURCE shard's survivors, appended at a
+        running write pointer so its candidates form a dense prefix (see
+        the multi-chip narrow section below).  Returns
+        ``(pairs_bal, mask_bal, used)`` with ``used`` the pmax'd dense
+        prefix bound (collectively uniform trip count)."""
+        S = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        share = -(-pair_budget // S)  # rows taken from each source shard
+        all_pairs = jax.lax.all_gather(
+            pairs[:pair_budget], axis_name)  # (S,B,2)
+        all_counts = jax.lax.all_gather(n_pairs, axis_name)  # (S,)
+        sent = jnp.int32(-(2**31) + 1)
+        pad_rows = jnp.full((share + S, 2), sent)
+        pairs_bal = jnp.full((S * share + batch, 2), sent)
+        wp = jnp.int32(0)
+        for src in range(S):
+            c = all_counts[src]
+            share_c = (c + S - 1) // S      # this source's stripe width
+            start = me * share_c             # my stripe within [0, c)
+            cnt = jnp.clip(c - start, 0, share_c)
+            # slack-padded source so the share-sized slice never clamps
+            # (start <= budget - share + S by construction)
+            src_rows = jnp.concatenate([all_pairs[src], pad_rows])
+            stripe = jax.lax.dynamic_slice_in_dim(
+                src_rows, start, share, axis=0)
+            pairs_bal = jax.lax.dynamic_update_slice_in_dim(
+                pairs_bal, stripe, wp, axis=0
             )
+            wp = wp + cnt
+        mask_bal = jnp.arange(
+            S * share + batch, dtype=jnp.int32) < wp
+        # uniform trip bound: the largest dense prefix on any shard
+        used = jax.lax.pmax(wp, axis_name)
+        return pairs_bal, mask_bal, used
+
+    if collect and axis_name is not None:
+        # ---- multi-chip per-pair collisions --------------------------
+        # Same pooled load balance as the global-TOI loop below, but the
+        # solver runs in exact per-query mode (lanes prune only against
+        # their own TOI, so no mid-loop pmin is needed for the per-pair
+        # values — the scalar TOI is pmin'd once at the end).  Each
+        # shard compacts its stripe's hits, then ONE more all_gather
+        # builds the replicated global hit list with the same
+        # contiguous-append trick — the multi-GPU analogue of the
+        # reference's per-device ``thrust::copy_if`` + host concat
+        # (``narrow_phase.cu:197-202``), without a host in the loop.
+        S = jax.lax.axis_size(axis_name)
+        pairs_bal, mask_bal, used = balance_sharded()
+        Pb = pairs_bal.shape[0]
+        pq0 = jnp.full((Pb,), jnp.inf, dtype)
+
+        def cond(st):
+            step = st[0]
+            # no `toi > 0` early exit: every pair's exact TOI is needed
+            return step * batch < used
+
+        def body(st):
+            step, toi, pq, checks, capped = st
+            start = step * batch
+            chunk = jax.lax.dynamic_slice_in_dim(
+                pairs_bal, start, batch, axis=0)
+            keep = jax.lax.dynamic_slice_in_dim(
+                mask_bal, start, batch, axis=0)
+            toi_new, ck, capped_b, pq_b = run_solver(chunk, keep, toi)
+            pq = jax.lax.dynamic_update_slice_in_dim(
+                pq, pq_b.astype(dtype), start, axis=0
+            )
+            return (step + 1, jnp.minimum(toi, toi_new), pq,
+                    checks + ck, capped | capped_b)
+
+        _, toi, pq, checks, capped = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), toi_in, pq0, jnp.int32(0),
+             jnp.zeros((), bool)),
+        )
+        hit = (pq < 1.0) & mask_bal
+        n_hits, h_pairs, h_toi = compact_rows(hit, pairs_bal, pq)
+        if decode is not None:
+            # hits are few; decode the compacted buffer once (raw rows
+            # reference the replicated packed planes, so any shard
+            # decodes any source shard's rows identically)
+            h_pairs = decode(h_pairs)
+        # replicated global hit list: gather every shard's compacted
+        # buffer and append each dense prefix at a running pointer
+        all_h = jax.lax.all_gather(h_pairs, axis_name)   # (S, Pb, 2)
+        all_t = jax.lax.all_gather(h_toi, axis_name)     # (S, Pb)
+        all_n = jax.lax.all_gather(n_hits, axis_name)    # (S,)
+        sent = jnp.int32(-(2**31) + 1)
+        g_pairs = jnp.full((S * Pb, 2), sent)
+        g_toi = jnp.full((S * Pb,), jnp.inf, dtype)
+        wp = jnp.int32(0)
+        for s in range(S):
+            g_pairs = jax.lax.dynamic_update_slice_in_dim(
+                g_pairs, all_h[s], wp, axis=0)
+            g_toi = jax.lax.dynamic_update_slice_in_dim(
+                g_toi, all_t[s], wp, axis=0)
+            wp = wp + all_n[s]
+        toi = jax.lax.pmin(toi, axis_name)
+        n_true = jax.lax.psum(n_true, axis_name)
+        overflow = jax.lax.pmax(overflow, axis_name)
+        checks = jax.lax.psum(checks, axis_name)
+        capped = jax.lax.pmax(capped, axis_name)
+        return (toi, n_true, overflow, checks, capped,
+                g_pairs, g_toi, wp)
+
+    if collect:
         P = pairs.shape[0] if pairs is not None else pair_budget + batch
         pq0 = jnp.full((P,), jnp.inf, dtype)
         # decoded element-id pairs, written batch by batch (the records
@@ -817,12 +947,6 @@ def _phase(
     #  - loop trip count and the toi-based early exit derive only from
     #    collectively-reduced values, keeping every shard in the same
     #    control flow (a per-shard count would deadlock the collective).
-    S = jax.lax.axis_size(axis_name)
-    me = jax.lax.axis_index(axis_name)
-    share = -(-pair_budget // S)  # rows taken from each source shard
-    all_pairs = jax.lax.all_gather(pairs[:pair_budget], axis_name)  # (S,B,2)
-    all_counts = jax.lax.all_gather(n_pairs, axis_name)  # (S,)
-
     # Append every stripe's share-block at a running write pointer: the
     # invalid tail of each block is overwritten by the next block (the
     # same contiguous-append trick as _sweep_compact), so my candidates
@@ -830,26 +954,7 @@ def _phase(
     # trip count is data-proportional — NOT budget-proportional (a
     # budget-rounded bound cost a mesh-of-1 run 3.3x the single-chip
     # time in empty masked batches).
-    sent = jnp.int32(-(2**31) + 1)
-    pad_rows = jnp.full((share + S, 2), sent)
-    pairs_bal = jnp.full((S * share + batch, 2), sent)
-    wp = jnp.int32(0)
-    for src in range(S):
-        c = all_counts[src]
-        share_c = (c + S - 1) // S          # this source's stripe width
-        start = me * share_c                 # my stripe within [0, c)
-        cnt = jnp.clip(c - start, 0, share_c)
-        # slack-padded source so the share-sized slice never clamps
-        # (start <= budget - share + S by construction)
-        src_rows = jnp.concatenate([all_pairs[src], pad_rows])
-        stripe = jax.lax.dynamic_slice_in_dim(src_rows, start, share, axis=0)
-        pairs_bal = jax.lax.dynamic_update_slice_in_dim(
-            pairs_bal, stripe, wp, axis=0
-        )
-        wp = wp + cnt
-    mask_bal = jnp.arange(S * share + batch, dtype=jnp.int32) < wp
-    # uniform trip bound: the largest dense prefix on any shard
-    used = jax.lax.pmax(wp, axis_name)
+    pairs_bal, mask_bal, used = balance_sharded()
 
     def cond(st):
         step, toi, checks, capped = st
@@ -963,11 +1068,6 @@ def fused_ccd_core(
     )
     toi0 = jnp.asarray(1.0, dtype)
     if collect:
-        if axis_name is not None:
-            raise ValueError(
-                "per-pair collision collection is single-chip only; gather "
-                "hits per shard outside shard_map instead"
-            )
         if ipc_refine:
             raise ValueError(
                 "ipc_refine has no per-pair output (the reference discards "
@@ -1156,10 +1256,17 @@ def fused_ccd(
         # explicit f64 requests keep the XLA solver
         f32 = kwargs.get("dtype", jnp.float32) == jnp.float32
         solver = "pallas" if (f32 and not _pallas_interpret()) else "bfs"
+    if kwargs.get("escalate_rounds") is None:
+        kwargs["escalate_rounds"] = _resolve_auto_escalation(
+            None, solver, kwargs.get("max_iterations", -1)
+        )
     if kwargs.get("sweep_impl") is None:
-        # the all-pairs sweep kernel on TPU; XLA shift-block elsewhere
-        # (interpret-mode partner streaming is impractically slow on CPU)
-        kwargs["sweep_impl"] = "xla" if _pallas_interpret() else "pallas_ap"
+        # MXU-placed bit-record emission on TPU — the measured winner at
+        # every scale (round 4: 127.9 vs 144.3 ms bench, 1935 vs 2288 ms
+        # grid-600, 6431 vs 7608 ms grid-1000 against raw pops);
+        # XLA shift-block elsewhere (interpret-mode partner streaming is
+        # impractically slow on CPU)
+        kwargs["sweep_impl"] = "xla" if _pallas_interpret() else "pallas_mxu"
     if kwargs.get("bucket_minor", "auto") == "auto":
         # congestion ordering pays off when thousands of boxes share each
         # sorted-axis column (measured: -32% at 3M boxes / grid-1000,

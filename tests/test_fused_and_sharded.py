@@ -319,6 +319,43 @@ class TestFusedCollisions:
         assert hits == []
         assert float(res.toi) == 1.0
 
+    def test_eight_shards_collect_matches_single_chip(self, scene):
+        """Per-pair hits under shard_map: each shard solves its balanced
+        stripe in exact per-query mode, compacts its hits, and the
+        replicated global list (one extra all_gather per phase) must
+        equal the single-chip hit set exactly — the multi-GPU shape of
+        the reference's TOI_PER_QUERY output (narrow_phase.cu:197-202)."""
+        from scalable_ccd_tpu.parallel.sharded import sharded_ccd
+
+        single_hits = []
+        single = fused_ccd(
+            *_args(scene), vf_budget=1 << 15, ee_budget=1 << 15,
+            dtype=jnp.float64, collisions=single_hits,
+        )
+        assert len(single_hits) > 0
+
+        mesh = default_mesh()
+        assert mesh.size == 8
+        sh_hits = []
+        res = sharded_ccd(
+            scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+            mesh=mesh, vf_budget_per_shard=1 << 12,
+            ee_budget_per_shard=1 << 12, dtype=jnp.float64,
+            collisions=sh_hits,
+        )
+        assert not bool(res.overflowed)
+        assert float(res.toi) == float(single.toi)
+
+        def as_map(hits):
+            return {(a, b): t for a, b, t in hits}
+
+        fm, sm = as_map(single_hits), as_map(sh_hits)
+        assert set(fm) == set(sm)
+        for key in fm:
+            # per-query mode: each pair's TOI is order-independent, so
+            # the balanced redistribution must not change any value
+            assert fm[key] == sm[key]
+
 
 class TestShardedBalance:
     def test_skewed_contacts_balanced_and_exchanged(self):

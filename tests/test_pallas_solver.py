@@ -309,9 +309,19 @@ def test_kernel_staged_escalation_exact(is_vf, round_limit):
     """round_limit pools stragglers into a second pass; the global TOI is
     bitwise-identical to the unbounded single pass (pruning can only drop
     domains with min_t >= the final TOI, and pass 2 re-solves every
-    unfinished lane from scratch)."""
+    unfinished lane from scratch).
+
+    The parametrization deliberately covers all three count-proportional
+    second-stage branches: EE at round_limit=0 leaves 1160 > 1024 lanes
+    unfinished (full sorted fallback), VF at round_limit=0 leaves 372
+    (single-block pooled pass), and round_limit=7 retires most lanes
+    (skip / small)."""
     scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
     q = _queries(scene, is_vf)
+    if round_limit == 0 and not is_vf:
+        # keep the full-fallback branch covered: EE query count must
+        # exceed one solver block
+        assert q.n > 1024
     valid = jnp.ones((q.n,), bool)
     toi_ref, ovf_ref, checks_ref = pallas_find_roots(
         q, valid, is_vf, jnp.float32(1.0), jnp.float32(0.0),
@@ -342,3 +352,29 @@ def test_fused_pipeline_escalation_matches_plain():
     r_esc = fused_ccd(*args, escalate_rounds=16, **kw)
     assert float(r_esc.toi) == float(r_plain.toi)
     assert bool(r_esc.solver_capped) == bool(r_plain.solver_capped)
+
+
+def test_auto_escalation_policy():
+    """The auto policy (VERDICT r3 item 3) enables staged escalation on
+    the Pallas solver's exact global path — so the ``_MAX_ROUNDS``
+    stale-pending-min accept is unreachable by policy — and stays off
+    for the XLA solvers and bounded modes, where it has no effect or
+    would change per-lane semantics."""
+    from scalable_ccd_tpu.pipeline.fused import (
+        _AUTO_ESCALATE_ROUNDS,
+        _resolve_auto_escalation,
+    )
+
+    # auto (None from the fused wrapper, -2 from CCDConfig)
+    for auto in (None, -2):
+        assert _resolve_auto_escalation(
+            auto, "pallas", -1) == _AUTO_ESCALATE_ROUNDS
+        assert _resolve_auto_escalation(auto, "bfs", -1) == -1
+        assert _resolve_auto_escalation(auto, "dfs", -1) == -1
+        assert _resolve_auto_escalation(auto, "pallas", 100) == -1
+    # explicit values pass through untouched
+    assert _resolve_auto_escalation(-1, "pallas", -1) == -1
+    assert _resolve_auto_escalation(64, "pallas", -1) == 64
+    # the auto constant must cover the hardware-measured lane-depth tail
+    # (99.97% of bench-scale lanes finish within 256 rounds, PERF.md)
+    assert _AUTO_ESCALATE_ROUNDS >= 128
