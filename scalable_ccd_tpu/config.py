@@ -137,14 +137,16 @@ class CCDConfig:
     #: rounds and the straggler lanes are pooled into a compacted second
     #: unbounded pass that prunes against the first pass's TOI —
     #: bitwise-identical result absent overflow conservative-accepts.
-    #: Auto escalates at 256 rounds on the Pallas global path (~4-8x the
-    #: measured median lane depth; 99.97% of bench-scale lanes finish
+    #: Auto escalates at 128 rounds on the Pallas global path (~2-4x the
+    #: measured median lane depth; 99.2% of bench-scale lanes finish
     #: within it), which keeps the solver round-cap's stale-pending-min
     #: conservative accept unreachable by policy.  The second stage is
     #: count-proportional (``lax.cond`` skips it when no lane escalates;
-    #: a one-block straggler pool covers up to 1024): measured ~1 ms per
-    #: narrow batch, ~5% of the bench frame (PERF.md round-4); force
-    #: ``-1`` where raw latency beats the guarantee.
+    #: a four-block straggler pool covers thousands before the full
+    #: sorted fallback): with it, the bounded two-pass *matches* the
+    #: unbounded single pass on hardware (25.9 vs 26.2 ms on the bench
+    #: solve, PERF.md round-4) — the guarantee is ~free; force ``-1``
+    #: only where that last margin matters.
     escalate_rounds: int = -2
 
     #: DFS stack capacity per query in the narrow phase.  The reference uses

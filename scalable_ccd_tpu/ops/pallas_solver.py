@@ -63,11 +63,25 @@ from scalable_ccd_tpu.narrow_phase.types import (
     numerical_error_bound,
 )
 
-__all__ = ["pallas_find_roots", "PALLAS_SOLVER_BLOCK"]
+__all__ = ["pallas_find_roots", "PALLAS_SOLVER_BLOCK", "SOLVER_BLOCK_SUB"]
 
-#: queries per grid step: one (sublane, lane) vreg plane
+#: queries per grid step: ``block_sub`` sublane rows of one 128-lane
+#: vreg plane each.  8 sublanes = one native (8, 128) f32 vreg; larger
+#: blocks amortize the while-loop round overhead (the cond's any-reduce,
+#: scalar bookkeeping, SMEM TOI traffic) over more lanes at the price of
+#: a slightly larger per-block worst-lane round count — the sweet spot
+#: is measured on hardware (tools/hw_solver_block.py).
 _SUB, _LANE = 8, 128
 PALLAS_SOLVER_BLOCK = _SUB * _LANE
+
+#: hardware-tuned ``block_sub`` the pipelines pass (tools/hw_solver_block.py,
+#: v5e, 41k-query bench solve): 16 sublanes edges out 8 at every round
+#: limit (25.1 vs 25.6 ms at rl=64) and clearly wins unbounded (26.2 vs
+#: 33.5 ms — twice the lanes halve the sequential block count and the
+#: per-round scalar overhead per query); 32 is flat-to-worse (vreg
+#: pressure).  ``pallas_find_roots`` itself defaults to the native-vreg 8
+#: so kernel-level tests exercise the canonical layout.
+SOLVER_BLOCK_SUB = 16
 
 #: per-lane DFS depth; deeper pushes conservative-accept (tol=1e-6 needs
 #: ~60 levels worst case across 3 dims; 64 covers it, and overflow is safe)
@@ -108,6 +122,7 @@ def _solver_kernel(
     per_query: bool,
     max_iterations: int,
     round_limit: int = -1,
+    sub: int = _SUB,
 ):
     """One grid step = one 1024-query block.
 
@@ -381,16 +396,16 @@ def _solver_kernel(
         rounds = state[-1]
         return jnp.any((cur_ok_i != 0) | (sp > 0)) & (rounds < round_cap)
 
-    zero = jnp.zeros((_SUB, _LANE), jnp.float32)
-    one = jnp.ones((_SUB, _LANE), jnp.float32)
-    izero = jnp.zeros((_SUB, _LANE), jnp.int32)
+    zero = jnp.zeros((sub, _LANE), jnp.float32)
+    one = jnp.ones((sub, _LANE), jnp.float32)
+    izero = jnp.zeros((sub, _LANE), jnp.int32)
     state = (
         zero, zero, zero, one, one, one,
         izero,                                          # sp
         valid.astype(jnp.int32),                        # cur_ok
-        jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),  # pend_min
+        jnp.full((sub, _LANE), jnp.inf, jnp.float32),   # pend_min
         toi_run[0, 0],                                  # toi_blk
-        jnp.full((_SUB, _LANE), jnp.inf, jnp.float32),  # tpq
+        jnp.full((sub, _LANE), jnp.inf, jnp.float32),   # tpq
         izero,                                          # checks_lane
         jnp.int32(0),                                   # checks
         jnp.int32(0),                                   # ovf
@@ -455,22 +470,24 @@ def _find_roots_packed(
     toi_per_query: bool,
     max_iterations: int,
     round_limit: int,
+    block_sub: int = _SUB,
 ):
     """One pallas_call over pre-packed rows; the two-pass escalation in
     ``pallas_find_roots`` shares the packed array between its calls (one
     row gather instead of re-gathering every ``CCDQueries`` field)."""
     dt = jnp.float32
+    block = block_sub * _LANE
     Q = qrows.shape[0]
-    n_blocks = -(-Q // PALLAS_SOLVER_BLOCK)
-    total = n_blocks * PALLAS_SOLVER_BLOCK
+    n_blocks = -(-Q // block)
+    total = n_blocks * block
     pad = total - Q
     if pad:
         qrows = jnp.concatenate([qrows, jnp.zeros((pad, 31), dt)])
     qp = jnp.transpose(
-        qrows.reshape(n_blocks, _SUB, _LANE, 31), (0, 3, 1, 2)
+        qrows.reshape(n_blocks, block_sub, _LANE, 31), (0, 3, 1, 2)
     )
     v = jnp.zeros((total,), jnp.int32).at[: Q].set(valid.astype(jnp.int32))
-    v = v.reshape(n_blocks, _SUB, _LANE)
+    v = v.reshape(n_blocks, block_sub, _LANE)
 
     toi0 = jnp.asarray(toi_init, dt).reshape(1, 1)
     cotol = jnp.asarray(tolerance, dt).reshape(1, 1)
@@ -478,7 +495,7 @@ def _find_roots_packed(
     kernel = functools.partial(
         _solver_kernel, is_vf=is_vf, allow_zero_toi=allow_zero_toi,
         per_query=toi_per_query, max_iterations=max_iterations,
-        round_limit=round_limit,
+        round_limit=round_limit, sub=block_sub,
     )
     out_specs = [
         # whole-array SMEM refs: each grid step writes its own row
@@ -494,13 +511,13 @@ def _find_roots_packed(
     if round_limit >= 0 or toi_per_query:
         out_specs.append(
             pl.BlockSpec(
-                (1, _SUB, _LANE), lambda i: (i, 0, 0),
+                (1, block_sub, _LANE), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (n_blocks, _SUB, _LANE),
+                (n_blocks, block_sub, _LANE),
                 jnp.int32 if round_limit >= 0 else dt,
             )
         )
@@ -509,11 +526,11 @@ def _find_roots_packed(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
-                (1, 31, _SUB, _LANE), lambda i: (i, 0, 0, 0),
+                (1, 31, block_sub, _LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, _SUB, _LANE), lambda i: (i, 0, 0),
+                (1, block_sub, _LANE), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -545,7 +562,7 @@ def _find_roots_packed(
     jax.jit,
     static_argnames=(
         "is_vf", "allow_zero_toi", "interpret", "toi_per_query",
-        "max_iterations", "round_limit",
+        "max_iterations", "round_limit", "block_sub",
     ),
 )
 def pallas_find_roots(
@@ -560,6 +577,7 @@ def pallas_find_roots(
     toi_per_query: bool = False,
     max_iterations: int = -1,
     round_limit: int = -1,
+    block_sub: int = _SUB,
 ):
     """Batched earliest-TOI solve on the TPU kernel.
 
@@ -602,10 +620,15 @@ def pallas_find_roots(
     re-solved lane's pass-1 checks are retained, as real work done).
     Ignored in ``toi_per_query`` and bounded-``max_iterations`` modes,
     whose per-lane semantics the restart would change.
+
+    ``block_sub`` sets the queries-per-grid-step block to
+    ``block_sub * 128`` (also the escalation pool size).  Semantics are
+    identical for any value — only block-TOI sharing granularity and the
+    round-overhead/worst-lane-skew tradeoff move; the hardware-measured
+    default lives in the pipeline (``fused.py``).
     """
     dt = jnp.float32
     Q = queries.n
-    n_blocks = -(-Q // PALLAS_SOLVER_BLOCK)
 
     ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
     err = jnp.where(
@@ -625,6 +648,7 @@ def pallas_find_roots(
         is_vf=is_vf, toi_init=toi_init, tolerance=tolerance,
         allow_zero_toi=allow_zero_toi, interpret=interpret,
         toi_per_query=toi_per_query, max_iterations=max_iterations,
+        block_sub=block_sub,
     )
     if round_limit >= 0 and not toi_per_query and max_iterations < 0:
         toi1, ovf1, checks1, unfin = _find_roots_packed(
@@ -644,7 +668,14 @@ def pallas_find_roots(
         #                  skew; stragglers first, emptied trailing
         #                  blocks exit their while loop on round one).
         count = jnp.sum(unfin)
-        K = PALLAS_SOLVER_BLOCK
+        # pooled-branch capacity: a few solver blocks, not just one —
+        # at large narrow batches a lowered round_limit can strand a few
+        # thousand stragglers, and falling into the full argsort pass
+        # would re-pay the v1 always-on overhead every batch.  The pool
+        # is dense (deep lanes only), so its blocks run at high
+        # utilization regardless of size.
+        K = min(4 * block_sub * _LANE, -(-Q // (block_sub * _LANE))
+                * (block_sub * _LANE))
         common2 = dict(common, toi_init=toi1)
 
         def _skip(_):

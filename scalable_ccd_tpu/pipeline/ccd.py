@@ -189,7 +189,10 @@ def _partial_ccd(
                 # the hardware kernel covers all three reference modes:
                 # global fast path, per-query TOI (TOI_PER_QUERY), and
                 # bounded iterations; f64 requests use the XLA solver below
-                from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
+                from scalable_ccd_tpu.ops.pallas_solver import (
+                    SOLVER_BLOCK_SUB,
+                    pallas_find_roots,
+                )
 
                 from scalable_ccd_tpu.pipeline.fused import (
                     _resolve_auto_escalation,
@@ -205,6 +208,9 @@ def _partial_ccd(
                     max_iterations=max_iter,
                     round_limit=_resolve_auto_escalation(
                         config.escalate_rounds, "pallas", max_iter
+                    ),
+                    block_sub=(
+                        SOLVER_BLOCK_SUB if not _pallas_interpret() else 8
                     ),
                 )
                 toi_k, capped_k, checks_k = out[:3]

@@ -68,7 +68,10 @@ from scalable_ccd_tpu.narrow_phase import (
     gather_vf_queries,
 )
 from scalable_ccd_tpu.ops import compact_rows
-from scalable_ccd_tpu.ops.pallas_solver import pallas_find_roots
+from scalable_ccd_tpu.ops.pallas_solver import (
+    SOLVER_BLOCK_SUB,
+    pallas_find_roots,
+)
 from scalable_ccd_tpu.ops.pallas_sweep_ap import (
     decode_pairs_ap,
     decode_records_range,
@@ -111,16 +114,18 @@ def _pow2ceil(n: int) -> int:
 _AUTO_BUDGET_MEMO: dict = {}
 
 #: default staged-escalation round limit for the Pallas solver's global
-#: mode — ~4-8x the measured median lane depth (hardware probe, round 4:
+#: mode — ~4-8x the measured median lane depth (hardware probes, round 4:
 #: 99.2% of bench-scale lanes finish within 128 DFS rounds, 99.97%
-#: within 256; with the count-proportional second stage the overhead at
-#: 256 is ~1 ms per narrow batch — ~5% of the bench frame, see PERF.md
-#: round-4).  Keeps the ``_MAX_ROUNDS`` stale-pending-min
-#: conservative accept unreachable by policy: a skewed batch pools its
-#: stragglers into the exact second pass instead of collapsing the TOI
-#: toward 0 (the reference re-runs rather than degrades,
-#: ``narrow_phase.cu:146-195``).
-_AUTO_ESCALATE_ROUNDS = 256
+#: within 256).  With the count-proportional second stage and the
+#: multi-block straggler pool, bounding rounds is now *faster* than the
+#: unbounded single pass (tools/hw_solver_block.py on v5e, 41k queries,
+#: block_sub=16: 25.9 ms at rl=128 vs 26.2 unbounded — skipping the deep
+#: tail in pass 1 and re-solving it densely pays for itself).  Keeps the
+#: ``_MAX_ROUNDS`` stale-pending-min conservative accept unreachable by
+#: policy: a skewed batch pools its stragglers into the exact second
+#: pass instead of collapsing the TOI toward 0 (the reference re-runs
+#: rather than degrades, ``narrow_phase.cu:146-195``).
+_AUTO_ESCALATE_ROUNDS = 128
 
 
 def _resolve_auto_escalation(escalate_rounds, solver: str,
@@ -690,6 +695,13 @@ def _phase(
                 toi_per_query=collect,
                 max_iterations=max_iter,
                 round_limit=escalate_rounds,
+                # hardware-tuned block; interpret keeps the native-vreg 8
+                # (same semantics — bitwise parity is pinned by
+                # test_kernel_block_sub_parity — but half the padded lanes
+                # for the CPU suite's tiny batches)
+                block_sub=(
+                    SOLVER_BLOCK_SUB if not _pallas_interpret() else 8
+                ),
             )
             toi_k, capped_k, checks_k = out[:3]
             pq = out[3] if collect else None

@@ -311,11 +311,12 @@ def test_kernel_staged_escalation_exact(is_vf, round_limit):
     domains with min_t >= the final TOI, and pass 2 re-solves every
     unfinished lane from scratch).
 
-    The parametrization deliberately covers all three count-proportional
-    second-stage branches: EE at round_limit=0 leaves 1160 > 1024 lanes
-    unfinished (full sorted fallback), VF at round_limit=0 leaves 372
-    (single-block pooled pass), and round_limit=7 retires most lanes
-    (skip / small)."""
+    The parametrization covers the count-proportional second-stage pool
+    branches: EE at round_limit=0 leaves 1160 unfinished (> one solver
+    block — multi-block pooled pass), VF at round_limit=0 leaves 372
+    (single block's worth), and round_limit=7 retires most lanes
+    (skip / small).  The count > K full-sorted fallback is exercised by
+    ``test_kernel_escalation_full_fallback`` below."""
     scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
     q = _queries(scene, is_vf)
     if round_limit == 0 and not is_vf:
@@ -334,6 +335,58 @@ def test_kernel_staged_escalation_exact(is_vf, round_limit):
     assert not bool(ovf_ref) and not bool(ovf)
     assert float(toi) == float(toi_ref)
     assert int(checks) > 0
+
+
+def test_kernel_escalation_full_fallback():
+    """count > K (4 solver blocks) drops to the full stable-sorted second
+    pass; the TOI stays bitwise-identical to the unbounded single pass.
+    Tiling the EE set x4 leaves ~4640 > 4096 lanes unfinished at
+    round_limit=0."""
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, False)
+    qb = type(q)(*[jnp.concatenate([f] * 4) for f in q])
+    assert qb.n > 4 * PALLAS_SOLVER_BLOCK
+    valid = jnp.ones((qb.n,), bool)
+    toi_ref, ovf_ref, _ = pallas_find_roots(
+        qb, valid, False, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    toi, ovf, checks = pallas_find_roots(
+        qb, valid, False, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True, round_limit=0,
+    )
+    assert not bool(ovf_ref) and not bool(ovf)
+    assert float(toi) == float(toi_ref)
+    assert int(checks) > 0
+
+
+@pytest.mark.parametrize("block_sub", [16, 32])
+def test_kernel_block_sub_parity(block_sub):
+    """``block_sub`` only changes the queries-per-grid-step packing (and
+    the escalation pool size) — the TOI must be bitwise-identical to the
+    native-vreg 8-sublane block, plain and under staged escalation.  The
+    hardware default (SOLVER_BLOCK_SUB=16, tools/hw_solver_block.py) is
+    applied by the pipelines on TPU only; this pins its semantics in
+    interpret mode."""
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, True)
+    valid = jnp.ones((q.n,), bool)
+    toi_ref, _, checks_ref = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    toi, _, _ = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True, block_sub=block_sub,
+    )
+    assert float(toi) == float(toi_ref)
+    toi_esc, ovf_esc, _ = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True, block_sub=block_sub,
+        round_limit=1,
+    )
+    assert float(toi_esc) == float(toi_ref)
+    assert not bool(ovf_esc)
 
 
 def test_fused_pipeline_escalation_matches_plain():
