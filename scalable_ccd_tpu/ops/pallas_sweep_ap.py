@@ -1472,6 +1472,19 @@ def decode_records_range(
     cum_win = jax.lax.dynamic_slice_in_dim(cum, r_lo_c, batch + 1)
     r = r_lo_c + searchsorted_sorted(cum_win, p, side="right").astype(jnp.int32)
     r_c = jnp.minimum(r, R - 1)
+    excl = jnp.where(r_c > 0, cum[jnp.maximum(r_c - 1, 0)], 0)
+    k = p - excl  # k-th set bit of this record
+    chunk = _decode_record_bits(packed, records, r_c, k, is_two_lists)
+    new_r_lo = jnp.max(jnp.where(valid, r_c, r_lo_c))
+    return chunk, new_r_lo
+
+
+def _decode_record_bits(packed, records, r_c, k, is_two_lists: bool):
+    """Decode the ``k``-th set bit of record ``r_c`` (both (batch,) i32)
+    to a (batch, 2) element-id pair row in the reference emit
+    convention.  Shared by the range decode above and the uniform record
+    sampler below."""
+    bf, bi, wf, wi = packed
     # record r_c lives at [r_c >> 4, (r_c & 15) * 8 : +8] of the tiled
     # buffer: one (batch, 128) row gather (~10 ns/row regardless of
     # width, PERF.md) + an 8-lane take_along_axis
@@ -1482,8 +1495,6 @@ def decode_records_range(
         word_base[:, None] + jnp.arange(_REC_WORDS, dtype=jnp.int32),
         axis=1,
     )  # (batch, 8)
-    excl = jnp.where(r_c > 0, cum[jnp.maximum(r_c - 1, 0)], 0)
-    k = p - excl  # k-th set bit of this record
 
     w = rec[:, 0:4]
     c0 = jax.lax.population_count(w[:, 0])
@@ -1517,6 +1528,33 @@ def decode_records_range(
     lo = jnp.minimum(a_eid, b_eid)
     hi = jnp.maximum(a_eid, b_eid)
     first = (-lo - 1) if is_two_lists else lo
-    chunk = jnp.stack([first, hi], axis=1)
-    new_r_lo = jnp.max(jnp.where(valid, r_c, r_lo_c))
-    return chunk, new_r_lo
+    return jnp.stack([first, hi], axis=1)
+
+
+def sample_first_pairs(
+    packed, records, cum, n_records, batch: int, is_two_lists: bool
+):
+    """One (batch, 2) chunk sampled uniformly across the record stream:
+    record ``floor(i * n_records / batch)``, its FIRST pair.  Returns
+    ``(chunk, valid)``.
+
+    Records are emitted in sweep order, so a uniform record stride
+    covers every contact region of the scene; solving this chunk before
+    the sequential batch loop settles the running TOI near its final
+    value and later batches root-prune (the reference's live global toi,
+    ``narrow_phase.cu:136-195``, made effective from batch one).
+    Duplicate coverage with the main loop is harmless — the global TOI
+    is a min over per-pair values.  No searchsorted: the sampled pair's
+    record index is known and its in-record rank is 0 by construction.
+    """
+    R = records.shape[0] * _REC_PER_ROW
+    i = jnp.arange(batch, dtype=jnp.int32)
+    nr = jnp.clip(n_records, 0, R)
+    # floor(i * nr / batch) without i32 overflow (i*nr can reach 2^38)
+    r_s = i * (nr // batch) + (i * (nr % batch)) // batch
+    valid = i < nr
+    r_c = jnp.clip(r_s, 0, jnp.maximum(nr - 1, 0))
+    chunk = _decode_record_bits(
+        packed, records, r_c, jnp.zeros_like(i), is_two_lists
+    )
+    return chunk, valid

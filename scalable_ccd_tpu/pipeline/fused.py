@@ -79,6 +79,7 @@ from scalable_ccd_tpu.ops.pallas_sweep_ap import (
     pallas_sweep_pairs,
     pallas_sweep_records,
     records_pair_prefix,
+    sample_first_pairs,
 )
 
 
@@ -510,8 +511,21 @@ def _phase(
     ipc_refine: bool = False,
     any_order: bool = False,
     escalate_rounds: int = -1,
+    presample: bool = True,
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
+
+    With ``presample`` (global single-chip mode, ``pair_budget >= 4 *
+    batch``), the narrow loop is preceded by ONE extra batch of pairs
+    sampled uniformly across the candidate stream (every
+    ``n/batch``-th record's first pair on the record layouts, strided
+    rows otherwise).  Candidates arrive in sweep order, so without it
+    the running TOI only tightens as the loop reaches each contact
+    region and every earlier batch explores deep; the sampled batch
+    touches all regions first, so the loop starts at a near-final TOI
+    and later batches root-prune.  The final TOI is unchanged (pruning
+    uses valid upper bounds; sampled pairs simply solve twice) — one
+    batch of extra work buys sweep-order independence.
 
     With ``collect``, also returns the per-pair hits: the solver runs in
     exact per-query mode (the reference's TOI_PER_QUERY build, where each
@@ -658,6 +672,32 @@ def _phase(
             )
 
     lane = jnp.arange(batch, dtype=jnp.int32)
+
+    # ---- TOI warm-start pre-batch (docstring) -----------------------------
+    # Static gates: global single-chip mode only (collect needs every
+    # pair's exact TOI — nothing to prune; ipc_refine has per-batch
+    # restore semantics the extra batch would complicate; sharded batches
+    # already co-prune via per-batch pmin), and only where the budget
+    # admits enough batches for the warm start to matter.
+    do_presample = (
+        presample and axis_name is None and not collect
+        and not ipc_refine and pair_budget >= 4 * batch
+    )
+    if do_presample:
+        if pairs is None:
+            def presample_chunk():
+                return sample_first_pairs(
+                    packed, records, cum, n_recs, batch, is_vf
+                )
+        else:
+            def presample_chunk():
+                npr = jnp.clip(n_pairs, 0, pair_budget)
+                # floor(i * npr / batch) without i32 overflow
+                idx = lane * (npr // batch) + (lane * (npr % batch)) // batch
+                return (
+                    pairs[jnp.clip(idx, 0, pairs.shape[0] - 1)],
+                    lane < npr,
+                )
     # frame concat + per-element endpoint table shared by every narrow
     # batch: 2 row gathers per query instead of 5 (VF) / 6 (EE)
     # (concat_frames / pack_face_table docstrings)
@@ -915,6 +955,15 @@ def _phase(
         return toi, n_true, overflow, checks, capped, h_pairs, h_toi, n_hits
 
     if axis_name is None:
+        if do_presample:
+            chunk_s, valid_s = presample_chunk()
+            toi_s, ck_s, capped_s, _ = run_solver(chunk_s, valid_s, toi_in)
+            toi_start = jnp.minimum(toi_in, toi_s)
+        else:
+            toi_start = toi_in
+            ck_s = jnp.int32(0)
+            capped_s = jnp.zeros((), bool)
+
         def cond(st):
             step, toi, checks, capped, r_lo = st
             # `toi > 0` early exit mirrors the reference chunk loop's
@@ -936,8 +985,7 @@ def _phase(
 
         _, toi, checks, capped, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), toi_in, jnp.int32(0), jnp.zeros((), bool),
-             jnp.int32(0)),
+            (jnp.int32(0), toi_start, ck_s, capped_s, jnp.int32(0)),
         )
         # report the EXACT survivor total (n_true): on overflow the user
         # (and the auto-budget retry) sees how many pairs actually exist,
@@ -1032,6 +1080,7 @@ def fused_ccd_core(
     ipc_refine: bool = False,
     bucket_minor: bool = False,
     escalate_rounds: int = -1,
+    presample: bool = True,
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
 
@@ -1077,6 +1126,7 @@ def fused_ccd_core(
         sweep_impl=sweep_impl,
         any_order=bucket_minor,
         escalate_rounds=escalate_rounds,
+        presample=presample,
     )
     toi0 = jnp.asarray(1.0, dtype)
     if collect:
@@ -1139,6 +1189,7 @@ def fused_ccd_core(
         "ipc_refine",
         "bucket_minor",
         "escalate_rounds",
+        "presample",
     ),
 )
 def _fused_ccd_jit(
@@ -1166,6 +1217,7 @@ def _fused_ccd_jit(
     ipc_refine: bool = False,
     bucket_minor: bool = False,
     escalate_rounds: int = -1,
+    presample: bool = True,
 ) -> FusedCCDResult:
     return fused_ccd_core(
         vertices_t0,
@@ -1193,6 +1245,7 @@ def _fused_ccd_jit(
         ipc_refine=ipc_refine,
         bucket_minor=bucket_minor,
         escalate_rounds=escalate_rounds,
+        presample=presample,
     )
 
 
