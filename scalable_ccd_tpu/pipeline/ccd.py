@@ -166,7 +166,24 @@ def _partial_ccd(
     def solve_chunk(pairs, count, toi, ms, max_iter, zero_ok):
         """Narrow-solve one broad chunk's candidates (the inner loop of
         ``narrow_phase<is_vf>``, ``narrow_phase.cu:136-195``)."""
-        for chunk, n, b in _narrow_batches(pairs, count, buckets):
+
+        def batches():
+            """TOI warm-start pre-batch (fused_ccd_core docstring), then
+            the regular sequence.  Candidates arrive in sweep order, so
+            without it the running TOI only tightens as the loop reaches
+            each contact region; one strided batch covers every region
+            first and later batches root-prune.  Off in collisions mode
+            (a sampled pair would append its hit twice); duplicate
+            solves are otherwise harmless (the TOI is a min)."""
+            if collisions is None and count > 4 * buckets[-1]:
+                b = buckets[-1]
+                idx = np.minimum(
+                    np.arange(b, dtype=np.int64) * count // b, count - 1
+                ).astype(np.int32)
+                yield pairs[idx], b, b
+            yield from _narrow_batches(pairs, count, buckets)
+
+        for chunk, n, b in batches():
             overlaps = _pad_overlaps(chunk, n, b)
             valid = jnp.arange(b) < n
             if is_vf:

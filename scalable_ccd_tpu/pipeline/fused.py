@@ -674,11 +674,11 @@ def _phase(
     lane = jnp.arange(batch, dtype=jnp.int32)
 
     # ---- TOI warm-start pre-batch (docstring) -----------------------------
-    # Static gates: global single-chip mode only (collect needs every
-    # pair's exact TOI — nothing to prune; ipc_refine has per-batch
-    # restore semantics the extra batch would complicate; sharded batches
-    # already co-prune via per-batch pmin), and only where the budget
-    # admits enough batches for the warm start to matter.
+    # Static gates: global mode only (collect needs every pair's exact
+    # TOI — nothing to prune; ipc_refine has per-batch restore semantics
+    # the extra batch would complicate), and only where the budget admits
+    # enough batches for the warm start to matter.  The sharded pooled
+    # loop has its own flavor below (samples the balanced buffer).
     do_presample = (
         presample and axis_name is None and not collect
         and not ipc_refine and pair_budget >= 4 * batch
@@ -1016,6 +1016,22 @@ def _phase(
     # time in empty masked batches).
     pairs_bal, mask_bal, used = balance_sharded()
 
+    # TOI warm-start pre-batch, sharded flavor: each shard samples its own
+    # balanced dense prefix (strides of it cover every source shard's
+    # stripe, hence every contact region) and the loop-init pmin below
+    # shares the warmest TOI with all shards before batch one.  Same
+    # static gates as the single-chip path; runs on every shard, so
+    # control flow stays collectively uniform.
+    if presample and not ipc_refine and pair_budget >= 4 * batch:
+        wp_me = jnp.sum(mask_bal.astype(jnp.int32))
+        idx = lane * (wp_me // batch) + (lane * (wp_me % batch)) // batch
+        chunk_s = pairs_bal[jnp.clip(idx, 0, pairs_bal.shape[0] - 1)]
+        toi_s, ck_s, capped_s, _ = run_solver(chunk_s, lane < wp_me, toi_in)
+        toi_in = jnp.minimum(toi_in, toi_s)
+    else:
+        ck_s = jnp.int32(0)
+        capped_s = jnp.zeros((), bool)
+
     def cond(st):
         step, toi, checks, capped = st
         # both operands are collectively uniform (pmax'd bound, pmin'd toi)
@@ -1041,8 +1057,7 @@ def _phase(
 
     _, toi, checks, capped = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), jax.lax.pmin(toi_in, axis_name), jnp.int32(0),
-         jnp.zeros((), bool)),
+        (jnp.int32(0), jax.lax.pmin(toi_in, axis_name), ck_s, capped_s),
     )
     toi = jax.lax.pmin(toi, axis_name)
     # each pair is emitted by exactly one shard (a-side range shard), so

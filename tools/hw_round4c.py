@@ -82,12 +82,17 @@ def step_block_parity():
 def step_bench_default():
     args = _bench_scene()
     ms, toi, ovf, first = _time_fused(args)  # library defaults
-    print(f"default path (mxu+auto+esc128+bs16): {ms:.1f} ms/frame "
-          f"toi={toi:.6f} ovf={ovf} (first {first:.0f}s)", flush=True)
+    print(f"default path (mxu+auto+esc128+bs16+presample): {ms:.1f} "
+          f"ms/frame toi={toi:.6f} ovf={ovf} (first {first:.0f}s)",
+          flush=True)
     ms2, toi2, _, _ = _time_fused(args, escalate_rounds=-1)
     print(f"  escalate_rounds=-1: {ms2:.1f} ms/frame toi={toi2:.6f}",
           flush=True)
     assert toi2 == toi
+    ms3, toi3, _, _ = _time_fused(args, presample=False)
+    print(f"  presample=False: {ms3:.1f} ms/frame toi={toi3:.6f}",
+          flush=True)
+    assert toi3 == toi
 
 
 def step_grid_default(grid=1000):
@@ -109,6 +114,9 @@ def step_grid_default(grid=1000):
     print(f"escalation off: {ms2:.0f} ms/frame toi={toi2:.6f} "
           f"(first {first2:.0f}s)", flush=True)
     assert toi2 == toi
+    ms3, toi3, _, _ = _time_fused(args, reps=3, presample=False)
+    print(f"presample off: {ms3:.0f} ms/frame toi={toi3:.6f}", flush=True)
+    assert toi3 == toi
 
 
 def main():
