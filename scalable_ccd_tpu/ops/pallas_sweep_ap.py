@@ -806,7 +806,6 @@ def _sweep_kernel(
                             0,
                         )
                         rh = rh + jnp.where(lane64 == 15, live, 0)
-                        rf = rh.astype(jnp.float32)
                         # 3. ranks (inclusive prefix, then exclusive)
                         inc = live
                         for st_ in (1, 2, 4, 8, 16, 32):
@@ -818,23 +817,32 @@ def _sweep_kernel(
                         dst = jnp.where(
                             live > 0, rc0 % _SREC_STAGE + inc - live, -1
                         )
-                        # 4. one-hot placement matmul (exact in f32)
+                        # 4. one-hot placement matmuls, exact BY VALUE
+                        # RANGE at the MXU's default (single-pass bf16)
+                        # precision.  The default truncates f32 operands
+                        # to bf16 (8-bit mantissa) ON HARDWARE — the
+                        # round-4 hw-suite pair-set corruption for
+                        # halfwords >= 2^8 — so the halfwords are split
+                        # into bytes: integers < 2^8 are bf16-exact, the
+                        # one-hot keeps one nonzero term per output, and
+                        # the f32 accumulate recombines exactly.  Two
+                        # single-pass matmuls replace the previous
+                        # precision=HIGHEST one (its mandated multi-pass
+                        # decomposition costs ~3x the MXU passes for
+                        # 16-bit exactness we can get by construction).
                         df = (lane64 == dst).astype(jnp.float32)
-                        # precision=HIGHEST is load-bearing: the MXU's
-                        # DEFAULT f32 precision truncates operands to
-                        # bf16 (8-bit mantissa), silently corrupting
-                        # halfwords >= 2^8 ON HARDWARE while interpret
-                        # mode stays exact f32 (the round-4 hw-suite
-                        # pair-set mismatch).  With the multi-pass bf16
-                        # decomposition the one-hot x halfword products
-                        # are exact (< 2^16, one nonzero term per lane).
-                        out = jax.lax.dot_general(
-                            df, rf,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
+                        dn = (((0,), (0,)), ((), ()))
+                        out_hi = jax.lax.dot_general(
+                            df, (rh >> 8).astype(jnp.float32), dn,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        out_lo = jax.lax.dot_general(
+                            df, (rh & 0xFF).astype(jnp.float32), dn,
+                            preferred_element_type=jnp.float32,
                         )  # (128, 128): row = dst, lanes = halfword rec
-                        oi = out[:_MXU_STAGE].astype(jnp.int32)
+                        oi = (
+                            out_hi[:_MXU_STAGE].astype(jnp.int32) << 8
+                        ) | out_lo[:_MXU_STAGE].astype(jnp.int32)
                         # 5. recombine + select into the staging ring
                         comb = jnp.where(
                             l96 < 6,
