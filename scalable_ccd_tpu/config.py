@@ -113,6 +113,15 @@ class CCDConfig:
     #: valid only as lower-bound certificates.
     toi_per_query: bool = False
 
+    #: TOI warm-start pre-batch (``fused_ccd_core`` docstring): before
+    #: each broad chunk's sequential narrow batches, solve ONE batch of
+    #: candidates sampled uniformly across the chunk, so the running TOI
+    #: starts near its final value and later batches root-prune
+    #: regardless of where contacts sit in sweep order.  Exact (pruning
+    #: uses valid upper bounds); auto-disabled in collisions mode and for
+    #: chunks under 4 batches.
+    presample: bool = True
+
     #: Chunked-pipeline broad phase: "auto" (the Mosaic all-pairs sweep
     #: kernel on TPU, "fast" elsewhere), "pallas" (force the kernel; the
     #: a-side tile range is the chunk cursor, with a one-shot exact-total

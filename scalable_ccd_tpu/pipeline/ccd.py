@@ -175,7 +175,8 @@ def _partial_ccd(
             first and later batches root-prune.  Off in collisions mode
             (a sampled pair would append its hit twice); duplicate
             solves are otherwise harmless (the TOI is a min)."""
-            if collisions is None and count > 4 * buckets[-1]:
+            if (config.presample and collisions is None
+                    and count > 4 * buckets[-1]):
                 b = buckets[-1]
                 idx = np.minimum(
                     np.arange(b, dtype=np.int64) * count // b, count - 1
