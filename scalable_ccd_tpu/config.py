@@ -118,9 +118,13 @@ class CCDConfig:
     #: candidates sampled uniformly across the chunk, so the running TOI
     #: starts near its final value and later batches root-prune
     #: regardless of where contacts sit in sweep order.  Exact (pruning
-    #: uses valid upper bounds); auto-disabled in collisions mode and for
-    #: chunks under 4 batches.
-    presample: bool = True
+    #: uses valid upper bounds); always off in collisions mode and for
+    #: chunks under 4 batches.  ``"auto"`` (default) enables it below
+    #: the congestion box-count threshold only — measured on hardware it
+    #: wins ~30% at bench scale and is pure overhead on congested
+    #: million-box scenes whose cold loop reaches the final TOI in its
+    #: first batches (``fused._resolve_auto_presample`` docstring).
+    presample: object = "auto"
 
     #: Chunked-pipeline broad phase: "auto" (the Mosaic all-pairs sweep
     #: kernel on TPU, "fast" elsewhere), "pallas" (force the kernel; the

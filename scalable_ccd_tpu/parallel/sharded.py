@@ -89,6 +89,7 @@ def make_sharded_ccd(
     bucket_minor="auto",
     collect: bool = False,
     escalate_rounds: Optional[int] = None,
+    presample="auto",
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.
 
@@ -131,13 +132,20 @@ def make_sharded_ccd(
         escalate_rounds, solver, max_iterations)
 
     def step(v0, v1, edges, faces, min_distance, tolerance):
+        from scalable_ccd_tpu.pipeline.fused import _resolve_auto_presample
+
+        n_vf_boxes = v0.shape[0] + faces.shape[0]
         bm = bucket_minor
         if bm == "auto":
             # shapes are static at trace time, so auto resolves here
             bm = bool(
-                v0.shape[0] + faces.shape[0] >= _AUTO_BUCKET_MIN_BOXES
+                n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
                 and sweep_impl != "xla"
             )
+        # same measured policy as single-chip fused_ccd: the sharded
+        # pooled loop's pre-batch samples the balanced buffer, but the
+        # pay-off regime is identical (_resolve_auto_presample docstring)
+        ps = _resolve_auto_presample(presample, n_vf_boxes)
         return fused_ccd_core(
             v0,
             v1,
@@ -161,6 +169,7 @@ def make_sharded_ccd(
             bucket_minor=bm,
             collect=collect,
             escalate_rounds=escalate_rounds,
+            presample=ps,
             axis_name=AXIS,
         )
 

@@ -127,6 +127,16 @@ def _partial_ccd(
     ftab = pack_face_table(vcat, faces) if is_vf else None
     etab = None if is_vf else pack_edge_table(vcat, edges)
 
+    # resolve the warm-start pre-batch policy once per phase; the chunked
+    # pipeline shares fused_ccd's measured crossover (the pre-batch pays
+    # at bench scale, is pure overhead on congested million-box scenes —
+    # fused._resolve_auto_presample docstring)
+    from scalable_ccd_tpu.pipeline.fused import _resolve_auto_presample
+
+    presample = _resolve_auto_presample(
+        config.presample, v0.shape[0] + faces.shape[0]
+    )
+
     broad = config.broad_impl
     if broad == "auto":
         # the Mosaic sweep kernel on TPU; the XLA shift-block sweep
@@ -175,7 +185,7 @@ def _partial_ccd(
             first and later batches root-prune.  Off in collisions mode
             (a sampled pair would append its hit twice); duplicate
             solves are otherwise harmless (the TOI is a min)."""
-            if (config.presample and collisions is None
+            if (presample and collisions is None
                     and count > 4 * buckets[-1]):
                 b = buckets[-1]
                 idx = np.minimum(

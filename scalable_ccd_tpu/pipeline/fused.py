@@ -143,6 +143,25 @@ def _resolve_auto_escalation(escalate_rounds, solver: str,
         return _AUTO_ESCALATE_ROUNDS
     return -1
 
+
+def _resolve_auto_presample(presample, n_vf_boxes: int) -> bool:
+    """Resolve ``presample`` auto (``"auto"`` or ``None``): the TOI
+    warm-start pre-batch pays below the congestion threshold and is pure
+    overhead above it (hardware, round 4, ``tools/logs/hw_round4c.log``):
+    bench scene 135.3 ms with vs 190.9 without (early cold batches
+    explore deep before the TOI settles), grid-1000 7372 with vs 7248
+    without — there the cold loop already reaches the final TOI in its
+    first batches (``hw_narrow_residual.log``: warm-started and cold
+    domain-check totals are IDENTICAL at 16.7M pairs), so the extra
+    sampled batch buys nothing.  The crossover tracks scene congestion,
+    so it reuses the ``bucket_minor`` box-count threshold.  Either
+    setting is exact (pruning uses valid upper bounds); a wrong guess
+    only costs a few percent of frame time."""
+    if presample is not None and presample != "auto":
+        return bool(presample)
+    return n_vf_boxes < _AUTO_BUCKET_MIN_BOXES
+
+
 __all__ = [
     "FusedCCDResult",
     "FusedCollisionsResult",
@@ -1314,6 +1333,11 @@ def fused_ccd(
     boxes on the kernel sweeps, where it was measured -32% on congested
     scenes and ~neutral below (PERF.md).  Pass ``True``/``False`` to
     force; the pair set and TOI are ordering-invariant either way.
+
+    ``presample`` defaults to ``"auto"``: the TOI warm-start pre-batch
+    runs below the same congestion threshold only (measured -30% at
+    bench scale, pure overhead at grid-1000 —
+    :func:`_resolve_auto_presample`).  Exact either way.
     """
     if validate:
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
@@ -1347,6 +1371,7 @@ def fused_ccd(
         # XLA shift-block elsewhere (interpret-mode partner streaming is
         # impractically slow on CPU)
         kwargs["sweep_impl"] = "xla" if _pallas_interpret() else "pallas_mxu"
+    n_vf_boxes = int(jnp.shape(vertices_t0)[0]) + int(jnp.shape(faces)[0])
     if kwargs.get("bucket_minor", "auto") == "auto":
         # congestion ordering pays off when thousands of boxes share each
         # sorted-axis column (measured: -32% at 3M boxes / grid-1000,
@@ -1354,11 +1379,15 @@ def fused_ccd(
         # free, predictable proxy.  The pair set is ordering-invariant
         # (the kernel's any_order mode is exact), so a wrong guess only
         # shifts sweep cost a few percent.
-        n_vf_boxes = jnp.shape(vertices_t0)[0] + jnp.shape(faces)[0]
         kwargs["bucket_minor"] = bool(
             n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
             and kwargs["sweep_impl"] != "xla"
         )
+    if kwargs.get("presample", "auto") in ("auto", None):
+        # warm-start pre-batch below the congestion threshold only
+        # (_resolve_auto_presample docstring: measured win at bench
+        # scale, measured pure overhead at grid-1000)
+        kwargs["presample"] = _resolve_auto_presample("auto", n_vf_boxes)
     # auto budgets: the reference sizes its pair buffers from free device
     # memory and re-runs on overflow (``memory_handler.hpp:11``,
     # ``broad_phase.cu`` halve/retry); here budgets are compile-time

@@ -426,3 +426,22 @@ def test_fused_presample_matches_plain():
         # path comes out AHEAD: 28,698 vs 30,109 domain evals)
         assert int(r_on.total_checks) != int(r_off.total_checks), impl
         assert int(r_on.total_checks) > 0
+
+
+def test_auto_presample_policy():
+    """presample="auto" resolves by the congestion box-count threshold
+    (hardware-measured crossover: the pre-batch wins at bench scale,
+    costs ~2% of frame on congested million-box scenes whose cold loop
+    already settles the TOI in its first batches — PERF.md round 4)."""
+    from scalable_ccd_tpu.pipeline.fused import (
+        _AUTO_BUCKET_MIN_BOXES,
+        _resolve_auto_presample,
+    )
+
+    assert _resolve_auto_presample("auto", 1000) is True
+    assert _resolve_auto_presample(None, 1000) is True
+    assert _resolve_auto_presample("auto", _AUTO_BUCKET_MIN_BOXES) is False
+    assert _resolve_auto_presample("auto", _AUTO_BUCKET_MIN_BOXES + 1) is False
+    # explicit settings always win
+    assert _resolve_auto_presample(True, 1 << 30) is True
+    assert _resolve_auto_presample(False, 0) is False
