@@ -73,6 +73,14 @@ def main():
         escalate_rounds=-1, presample=False)
     row("3. full defaults (auto)")
     row("4. defaults + narrow_batch=65536", narrow_batch=1 << 16)
+    # lane-utilization staging: blocks run as long as their WORST lane
+    # (~5% useful-lane occupancy at median depth 32-64 vs cap 128); a
+    # tighter bound pools retired-lane batches denser, the pooled pass
+    # restores occupancy
+    row("5. nb=65536 + escalate_rounds=64",
+        narrow_batch=1 << 16, escalate_rounds=64)
+    row("6. nb=65536 + escalate_rounds=32",
+        narrow_batch=1 << 16, escalate_rounds=32)
     print("\ngrid bisect complete", flush=True)
 
 
