@@ -91,12 +91,11 @@ _SREC_STAGE = 32
 _SREC_FOLD_ROWS = _SREC_STAGE // _REC_PER_ROW  # dense rows per fold (2)
 _SREC_FOLDS = _SUB // _SREC_FOLD_ROWS  # fold slots per flush buffer (4)
 
-#: MXU-placed emission ("mxu" layout): the staging buffer must hold a
-#: partially filled 32-record block (up to 31 rows) plus one whole
-#: 8-partner window's records (up to 64) placed in a single one-hot
-#: matmul — 96 rows; completed 32-row blocks fold out and the buffer
-#: shifts down by a static roll.
-_MXU_STAGE = 96
+#: MXU-placed emission ("mxu"/"mxu16" layouts): the staging buffer must
+#: hold a partially filled 32-record block (up to 31 rows) plus one whole
+#: window step's records (up to 64 at 8 partners/step, 128 at 16) placed
+#: in a single one-hot matmul — 32 + 8*stream_batch rows; completed
+#: 32-row blocks fold out and the buffer shifts down by a static roll.
 
 # f32 field plane order.  The last five exist on the partner side only
 # (zeros on a permuted a-side): _FWDMIN = suffix-min of major_min over the
@@ -294,7 +293,16 @@ def _sweep_kernel(
     emit: str = "pairs",
     rec_cap: int = 0,
     any_order: bool = False,
+    stream_batch: int = 8,
 ):
+    # partners per stream step.  8 = one minor-union batch group; 16
+    # (mxu emission only) halves the per-step scalar-branch overhead —
+    # the measured record-build cost driver at congested scale (PERF.md
+    # round 4c: ~200 ns/record, ~5 branches per record-bearing window
+    # step) — and gives the one-hot placement matmul its full 128
+    # candidate rows.  The stream keeps j ``stream_batch``-aligned.
+    assert stream_batch in (8, 16)
+    assert stream_batch == 8 or emit == "mxu"
     if emit == "records":
         (recs_out, np_out, nrec_out, ovf_out,
          a_f, a_i, w_f, w_i, stage, astage, state, sems) = refs
@@ -343,8 +351,9 @@ def _sweep_kernel(
             f_lane = jax.lax.broadcasted_iota(
                 jnp.int32, (_SREC_STAGE, _LANE), 1
             )
-            # ``win`` selects a completed 32-row block ("mxu" places up to
-            # 64 records at once, so two blocks can complete in one step)
+            # ``win`` selects a completed 32-row block (the mxu layouts
+            # place a whole window step's records at once, so up to
+            # stream_batch/4 blocks can complete in one step)
             x = stage[_SREC_STAGE * win:_SREC_STAGE * (win + 1)]
             for k in range(4):  # pitch 1,2,4,8 rows; width 8,16,..,64 lanes
                 pitch = 1 << k
@@ -407,8 +416,12 @@ def _sweep_kernel(
     a_reach = jnp.max(a_mmax)
     a_pos = a_i[_POS]  # sorted-order positions (+big on padding)
     # the partner stream starts just past the subtile's earliest box,
-    # rounded down to keep the 8-partner batches aligned
-    j0 = jnp.minimum((jnp.min(a_pos) + 1) // 8 * 8, jnp.int32(j_clamp))
+    # rounded down to keep the stream batches aligned (rounding down only
+    # re-tests partners the ``a_pos < jabs`` direction filter rejects)
+    j0 = jnp.minimum(
+        (jnp.min(a_pos) + 1) // stream_batch * stream_batch,
+        jnp.int32(j_clamp),
+    )
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
     flatpos = sub_iota * _LANE + lane_iota  # a-box index within subtile
@@ -481,10 +494,10 @@ def _sweep_kernel(
     # j = first index of an 8-partner batch; window holds [wbase, +_WIN).
     # Batching amortizes loop/branch overhead and, crucially, the per-
     # partner cross-lane reduction: one sum over (UB, 8, 128) replaces UB
-    # iterations each paying their own reduction.  j stays 8-aligned
+    # iterations each paying their own reduction.  j stays UB-aligned
     # (batches start at the 1024-aligned p0); partners past the stream's
     # true end fail the major test on their own, so overshoot is safe.
-    UB = 8
+    UB = stream_batch
 
     def cond(c):
         j, wbase, go = c[0], c[1], c[3]
@@ -550,9 +563,14 @@ def _sweep_kernel(
             # overlaps only a few — two SMEM scalar reads skip the other
             # batches' full vector filter (~72 SMEM reads + ~20 vector
             # ops).  Advance stays +UB: only row_dead widens the jump.
-            b_bmin0 = w_f[_BATUMIN, row, lane0]
-            b_bmax0 = w_f[_BATUMAX, row, lane0]
-            bat_dead = (b_bmin0 > a_umax0) | (b_bmax0 < a_umin0)
+            # The union planes are per-8-box groups; a UB=16 step is dead
+            # only when BOTH of its groups are.
+            bat_dead = None
+            for g8 in range(UB // 8):
+                b_bmin0 = w_f[_BATUMIN, row, lane0 + 8 * g8]
+                b_bmax0 = w_f[_BATUMAX, row, lane0 + 8 * g8]
+                g_dead = (b_bmin0 > a_umax0) | (b_bmax0 < a_umin0)
+                bat_dead = g_dead if bat_dead is None else bat_dead & g_dead
         else:
             row_dead = go != go  # constant False, same trace type
             bat_dead = row_dead
@@ -749,26 +767,33 @@ def _sweep_kernel(
                 #      fold buffer every 4th block, shift the ring down
                 #      by a static roll.
                 n64 = UB * _SUB
+                # staging ring: one partial 32-record block + one whole
+                # window step's records (96 rows at UB=8, 160 at UB=16);
+                # when it exceeds 128 the destination one-hot needs a
+                # second 128-lane block (the matmul output rows = the
+                # one-hot's lane dim)
+                mxu_stage = _SREC_STAGE + n64
+                dl = _LANE if mxu_stage <= _LANE else 2 * _LANE
                 sub64 = jax.lax.broadcasted_iota(jnp.int32, (n64, _LANE), 0)
                 lane64 = jax.lax.broadcasted_iota(jnp.int32, (n64, _LANE), 1)
+                subd = jax.lax.broadcasted_iota(jnp.int32, (n64, dl), 0)
+                laned = jax.lax.broadcasted_iota(jnp.int32, (n64, dl), 1)
                 s96 = jax.lax.broadcasted_iota(
-                    jnp.int32, (_MXU_STAGE, _LANE), 0
+                    jnp.int32, (mxu_stage, _LANE), 0
                 )
                 l96 = jax.lax.broadcasted_iota(
-                    jnp.int32, (_MXU_STAGE, _LANE), 1
+                    jnp.int32, (mxu_stage, _LANE), 1
                 )
 
                 @pl.when(total > 0)
-                def _(sub64=sub64, lane64=lane64, s96=s96, l96=l96):
+                def _(sub64=sub64, lane64=lane64, subd=subd, laned=laned,
+                      s96=s96, l96=l96):
                     K = keep.reshape(n64, _LANE)
-                    live = jnp.broadcast_to(
-                        jnp.max(jnp.where(K, 1, 0), axis=1, keepdims=True),
-                        (n64, _LANE),
-                    )
-                    nrec = jnp.sum(
-                        jnp.max(jnp.where(K, 1, 0), axis=1, keepdims=True),
-                        dtype=jnp.int32,
-                    )
+                    rowlive = jnp.max(
+                        jnp.where(K, 1, 0), axis=1, keepdims=True
+                    )  # (n64, 1)
+                    live = jnp.broadcast_to(rowlive, (n64, _LANE))
+                    nrec = jnp.sum(rowlive, dtype=jnp.int32)
                     cc0 = state[1]
                     rc0 = state[0]
                     fits = (cc0 + total <= jnp.int32(budget)) & (
@@ -806,16 +831,21 @@ def _sweep_kernel(
                             0,
                         )
                         rh = rh + jnp.where(lane64 == 15, live, 0)
-                        # 3. ranks (inclusive prefix, then exclusive)
-                        inc = live
-                        for st_ in (1, 2, 4, 8, 16, 32):
+                        # 3. ranks (inclusive prefix, then exclusive),
+                        # computed in the destination's dl-lane domain so
+                        # dst broadcasts straight into the one-hot
+                        lived = jnp.broadcast_to(rowlive, (n64, dl))
+                        inc = lived
+                        st_ = 1
+                        while st_ < n64:
                             inc = inc + jnp.where(
-                                sub64 >= st_,
+                                subd >= st_,
                                 pltpu.roll(inc, st_, axis=0),
                                 0,
                             )
+                            st_ *= 2
                         dst = jnp.where(
-                            live > 0, rc0 % _SREC_STAGE + inc - live, -1
+                            lived > 0, rc0 % _SREC_STAGE + inc - lived, -1
                         )
                         # 4. one-hot placement matmuls, exact BY VALUE
                         # RANGE at the MXU's default (single-pass bf16)
@@ -830,7 +860,7 @@ def _sweep_kernel(
                         # precision=HIGHEST one (its mandated multi-pass
                         # decomposition costs ~3x the MXU passes for
                         # 16-bit exactness we can get by construction).
-                        df = (lane64 == dst).astype(jnp.float32)
+                        df = (laned == dst).astype(jnp.float32)  # (n64, dl)
                         dn = (((0,), (0,)), ((), ()))
                         out_hi = jax.lax.dot_general(
                             df, (rh >> 8).astype(jnp.float32), dn,
@@ -839,10 +869,10 @@ def _sweep_kernel(
                         out_lo = jax.lax.dot_general(
                             df, (rh & 0xFF).astype(jnp.float32), dn,
                             preferred_element_type=jnp.float32,
-                        )  # (128, 128): row = dst, lanes = halfword rec
+                        )  # (dl, 128): row = dst, lanes = halfword rec
                         oi = (
-                            out_hi[:_MXU_STAGE].astype(jnp.int32) << 8
-                        ) | out_lo[:_MXU_STAGE].astype(jnp.int32)
+                            out_hi[:mxu_stage].astype(jnp.int32) << 8
+                        ) | out_lo[:mxu_stage].astype(jnp.int32)
                         # 5. recombine + select into the staging ring
                         comb = jnp.where(
                             l96 < 6,
@@ -853,7 +883,7 @@ def _sweep_kernel(
                             0,
                         )
                         hit = jnp.broadcast_to(
-                            oi[:, 15:16] > 0, (_MXU_STAGE, _LANE)
+                            oi[:, 15:16] > 0, (mxu_stage, _LANE)
                         )
                         stage[:] = jnp.where(hit, comb, stage[:])
                         rc = rc0 + nrec
@@ -881,21 +911,19 @@ def _sweep_kernel(
                                 dma.start()
                                 dma.wait()
 
-                        @pl.when(nf == 1)
-                        def _():
-                            fold_k(0)
-                            stage[:] = pltpu.roll(
-                                stage[:], _MXU_STAGE - _SREC_STAGE, axis=0
-                            )
-
-                        @pl.when(nf == 2)
-                        def _():
-                            fold_k(0)
-                            fold_k(1)
-                            stage[:] = pltpu.roll(
-                                stage[:], _MXU_STAGE - 2 * _SREC_STAGE,
-                                axis=0,
-                            )
+                        # up to n64/32 blocks complete per step (2 at
+                        # UB=8, 4 at UB=16; at most one foldbuf DMA —
+                        # consecutive k's contain one multiple of 4)
+                        for nfv in range(1, n64 // _SREC_STAGE + 1):
+                            @pl.when(nf == nfv)
+                            def _(nfv=nfv):
+                                for c in range(nfv):
+                                    fold_k(c)
+                                stage[:] = pltpu.roll(
+                                    stage[:],
+                                    mxu_stage - nfv * _SREC_STAGE,
+                                    axis=0,
+                                )
                 return
 
             if emit == "sparse":
@@ -1332,6 +1360,12 @@ def pallas_sweep_records(
       f32) — ~5 scalar branches per window step instead of ~2 per
       record; built for congested scenes where emission is the frame's
       dominant cost.
+    - ``"mxu16"``: the same placement over a 16-partner window step
+      (<= 128 records per matmul, the placement's full candidate-row
+      capacity): halves the per-step scalar-branch count per record —
+      the measured record-build cost driver at congested scale (~200
+      ns/record, PERF.md round 4c) — at the price of a 160-row staging
+      ring and a 256-lane destination one-hot.
 
     Returns ``(records, n_records, n_pairs, overflow)`` where ``records``
     is the tiled ``(rec_rows, 128)`` int32 buffer — record ``r`` at
@@ -1357,12 +1391,14 @@ def pallas_sweep_records(
     # flush (both layouts land the same dense 16-record/row HBM format)
     rec_rows = (-(-rec_budget // _REC_STAGE) + 1) * _SUB
 
-    if layout not in ("sparse", "dense", "mxu"):
+    if layout not in ("sparse", "dense", "mxu", "mxu16"):
         raise ValueError(f"unknown record layout {layout!r}")
+    stream_batch = 16 if layout == "mxu16" else 8
+    emit = {"dense": "records", "mxu16": "mxu"}.get(layout, layout)
     kernel = functools.partial(
         _sweep_kernel, is_two_lists=is_two_lists, budget=pair_budget,
-        emit="records" if layout == "dense" else layout,
-        rec_cap=rec_cap, any_order=any_order,
+        emit=emit, rec_cap=rec_cap, any_order=any_order,
+        stream_batch=stream_batch,
     )
     recs, n_pairs, n_recs, ovf = pl.pallas_call(
         kernel,
@@ -1396,14 +1432,17 @@ def pallas_sweep_records(
             [
                 pltpu.VMEM(
                     (
-                        _MXU_STAGE if layout == "mxu" else _SREC_STAGE,
+                        # ring = one partial 32-record block + one whole
+                        # window step's records (96 at UB=8, 160 at UB=16)
+                        _SREC_STAGE + stream_batch * _SUB
+                        if layout in ("mxu", "mxu16") else _SREC_STAGE,
                         _LANE,
                     ),
                     jnp.int32,
                 ),
                 pltpu.VMEM((_SUB, _LANE), jnp.int32),
             ]
-            if layout in ("sparse", "mxu") else
+            if layout in ("sparse", "mxu", "mxu16") else
             [
                 pltpu.VMEM((_SUB, _LANE), jnp.int32),
                 pltpu.VMEM((_REC_PER_ROW, _LANE), jnp.int32),

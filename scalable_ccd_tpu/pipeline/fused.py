@@ -563,26 +563,31 @@ def _phase(
     """
     n = sorted_boxes.n
     if sweep_impl not in (
-        "xla", "pallas_ap", "pallas_rec", "pallas_sparse", "pallas_mxu"
+        "xla", "pallas_ap", "pallas_rec", "pallas_sparse", "pallas_mxu",
+        "pallas_mxu16",
     ):
         raise ValueError(
             f"unknown sweep_impl {sweep_impl!r}: expected 'xla', "
-            "'pallas_ap', 'pallas_rec', 'pallas_sparse', or 'pallas_mxu' (the "
-            "shifted-window kernel value 'pallas' was removed; use "
-            "'pallas_ap')"
+            "'pallas_ap', 'pallas_rec', 'pallas_sparse', 'pallas_mxu', or "
+            "'pallas_mxu16' (the shifted-window kernel value 'pallas' was "
+            "removed; use 'pallas_ap')"
         )
     if solver not in ("pallas", "bfs", "dfs"):
         raise ValueError(f"unknown solver {solver!r}")
     decode = None
-    if sweep_impl in ("pallas_rec", "pallas_sparse", "pallas_mxu"):
+    if sweep_impl in (
+        "pallas_rec", "pallas_sparse", "pallas_mxu", "pallas_mxu16"
+    ):
         # bit-record sweep kernel: survivors leave the kernel as
         # (partner, 128-box-row) mask records (no per-survivor pops);
         # 'pallas_sparse' emits one record per 128-lane row,
-        # 'pallas_mxu' places a whole window's records with one one-hot
-        # matmul, 'pallas_rec' the packed per-record layout
-        layout = {"pallas_sparse": "sparse", "pallas_mxu": "mxu"}.get(
-            sweep_impl, "dense"
-        )
+        # 'pallas_mxu'/'pallas_mxu16' place a whole 8/16-partner window's
+        # records with one one-hot matmul, 'pallas_rec' the packed
+        # per-record layout
+        layout = {
+            "pallas_sparse": "sparse", "pallas_mxu": "mxu",
+            "pallas_mxu16": "mxu16",
+        }.get(sweep_impl, "dense")
         if axis_name is None:
             packed, n_real = pack_boxes_ap(sorted_boxes)
             records, n_recs, n_pairs, overflow = pallas_sweep_records(

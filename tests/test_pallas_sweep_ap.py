@@ -127,7 +127,7 @@ def test_extent_classed_packing_matches(is_two_lists):
     assert _pairs_set(pairs_u, np_u) == _pairs_set(pairs, np_)
 
 
-@pytest.mark.parametrize("layout", ["dense", "sparse", "mxu"])
+@pytest.mark.parametrize("layout", ["dense", "sparse", "mxu", "mxu16"])
 @pytest.mark.parametrize("is_two_lists", [True, False])
 def test_records_kernel_matches_xla_sweep(is_two_lists, layout):
     """Bit-record emission (both layouts): the (partner, a-row) mask
@@ -167,7 +167,7 @@ def test_records_kernel_matches_xla_sweep(is_two_lists, layout):
     assert set(got) == ref
 
 
-@pytest.mark.parametrize("layout", ["dense", "sparse", "mxu"])
+@pytest.mark.parametrize("layout", ["dense", "sparse", "mxu", "mxu16"])
 def test_records_budget_overflow_flags(layout):
     from scalable_ccd_tpu.ops.pallas_sweep_ap import pallas_sweep_records
 
@@ -200,7 +200,7 @@ def test_fused_pipeline_records_sweep_matches_xla():
     )
     kw = dict(vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32)
     r_xla = fused_ccd(*args, sweep_impl="xla", **kw)
-    for impl in ("pallas_rec", "pallas_sparse", "pallas_mxu"):
+    for impl in ("pallas_rec", "pallas_sparse", "pallas_mxu", "pallas_mxu16"):
         r_rec = fused_ccd(*args, sweep_impl=impl, **kw)
         assert float(r_rec.toi) == pytest.approx(float(r_xla.toi), abs=1e-6)
         assert int(r_rec.vf_total) == int(r_xla.vf_total)
@@ -249,7 +249,7 @@ def test_bucket_minor_ordering_matches(is_two_lists):
         records_pair_prefix,
     )
 
-    for layout in ("sparse", "mxu"):
+    for layout in ("sparse", "mxu", "mxu16"):
         recs, n_recs, n_pairs, ovf = pallas_sweep_records(
             packed, n, is_two_lists, pair_budget=1 << 15, interpret=True,
             any_order=True, layout=layout,
@@ -317,10 +317,10 @@ def test_fused_pipeline_ap_sweep_matches_xla():
     assert int(r_ap.ee_total) == int(r_xla.ee_total)
 
 
-@pytest.mark.parametrize("layout", ["sparse", "mxu"])
+@pytest.mark.parametrize("layout", ["sparse", "mxu", "mxu16"])
 def test_records_dense_cluster_stress(layout):
     """Every box overlapping every other: window steps carry the maximum
-    record count (the mxu path's 64-record placement, double-fold nf==2,
+    record count (the mxu paths' 64/128-record placement, multi-fold nf>=2,
     and mid-step DMA paths; the sparse path's per-row loop at full
     occupancy).  Exact pair-set parity with the XLA sweep."""
     from scalable_ccd_tpu.ops.pallas_sweep_ap import (
