@@ -124,7 +124,7 @@ class TestSharded:
             *args, vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32,
             sweep_impl="pallas_mxu", solver="pallas",
         )
-        for impl in ("pallas_mxu", "pallas_sparse"):
+        for impl in ("pallas_mxu", "pallas_mxu16", "pallas_sparse"):
             fn = make_sharded_ccd(
                 mesh, vf_budget_per_shard=1 << 12,
                 ee_budget_per_shard=1 << 12,
