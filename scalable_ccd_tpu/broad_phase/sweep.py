@@ -78,11 +78,22 @@ class SortedBoxes(NamedTuple):
 
 _MINOR_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
+#: Default reorder implementation for :func:`sort_boxes` (f32 only):
+#: "gather" = stable argsort + ONE stacked (n, 10) i32 row gather;
+#: "sort" = ONE multi-operand stable ``lax.sort`` that carries the ten
+#: payload columns through the sort itself (no gather at all).  Both are
+#: bit-identical (stable, same key).  Read once at import / trace time —
+#: pass the ``reorder`` kwarg explicitly to override per call (the jit
+#: cache keys on the kwarg, not on later mutations of this module var).
+REORDER_IMPL = "gather"
 
-@functools.partial(jax.jit, static_argnames=("axis", "pad_to", "bucket_minor"))
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "pad_to", "bucket_minor", "reorder")
+)
 def sort_boxes(
     boxes: AABBs, axis=0, pad_to: Optional[int] = None,
-    bucket_minor: bool = False,
+    bucket_minor: bool = False, reorder: Optional[str] = None,
 ) -> SortedBoxes:
     """Sort boxes along ``axis`` and split into major/minor arrays.
 
@@ -174,9 +185,40 @@ def sort_boxes(
         mspan = jnp.maximum(jnp.max(m0) - mlo, 1e-30)
         frac = jnp.clip((m0 - mlo) / mspan, 0.0, 1.0 - 1e-7)
         bucket = bucket - jnp.min(bucket)  # small magnitudes keep f32 exact
-        order = jnp.argsort((bucket + frac).astype(jnp.float32))
+        key = (bucket + frac).astype(jnp.float32)
     else:
-        order = jnp.argsort(major_min)
+        key = major_min
+    if reorder is None:
+        reorder = REORDER_IMPL
+    if reorder == "sort" and major_min.dtype == jnp.float32:
+        # ONE multi-operand stable lax.sort: the ten payload columns ride
+        # the sort's own data movement, replacing the argsort + stacked
+        # row gather below (gathers are latency-bound at ~10 ns/ROW —
+        # ~175 ms of the 210 ms sort_boxes total at 3M boxes, PERF.md).
+        # Payloads ride in the **i32 domain** for the same bit-exactness
+        # reason as the gather stack; the key stays f32 for ordering and
+        # is DISCARDED (its payload twin is the kept copy).  Stability +
+        # an identical key make this bit-identical to the gather path.
+        b = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+        ops = jax.lax.sort(
+            (key.astype(jnp.float32),
+             b(major_min), b(major_max),
+             b(minor_min[:, 0]), b(minor_min[:, 1]),
+             b(minor_max[:, 0]), b(minor_max[:, 1]),
+             vertex_ids[:, 0], vertex_ids[:, 1], vertex_ids[:, 2],
+             element_id),
+            num_keys=1, is_stable=True,
+        )
+        f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)  # noqa: E731
+        return SortedBoxes(
+            major_min=f(ops[1]),
+            major_max=f(ops[2]),
+            minor_min=jnp.stack([f(ops[3]), f(ops[4])], axis=1),
+            minor_max=jnp.stack([f(ops[5]), f(ops[6])], axis=1),
+            vertex_ids=jnp.stack(ops[7:10], axis=1),
+            element_id=ops[10],
+        )
+    order = jnp.argsort(key)
     # Apply the reorder as ONE stacked row gather (two in f64): gathers
     # cost ~10 ns/ROW regardless of row width (PERF.md), so six per-field
     # gathers pay 6x what one (n, 10) gather does — measured ~175 ms of

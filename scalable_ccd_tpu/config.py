@@ -159,7 +159,11 @@ class CCDConfig:
     #: sorted fallback): with it, the bounded two-pass *matches* the
     #: unbounded single pass on hardware (25.9 vs 26.2 ms on the bench
     #: solve, PERF.md round-4) — the guarantee is ~free; force ``-1``
-    #: only where that last margin matters.
+    #: only where that last margin matters.  A strictly-ascending tuple
+    #: (e.g. ``(32, 128)``) is a multi-stage ladder: each stage pools
+    #: the previous stage's stragglers at the next limit, final stage
+    #: unbounded — a lane-occupancy knob for congested scenes where
+    #: per-block worst-lane idle time dominates (PERF.md candidate 2).
     escalate_rounds: int = -2
 
     #: DFS stack capacity per query in the narrow phase.  The reference uses

@@ -603,7 +603,12 @@ def pallas_find_roots(
     lanes still mid-search — a block otherwise runs as long as its WORST
     lane — are compacted across all blocks (one stable sort + one packed
     row gather) and re-solved from scratch in a second unbounded call
-    that prunes against the first pass's TOI.  Absent stack/dim-cap
+    that prunes against the first pass's TOI.  A strictly-ascending
+    TUPLE of limits (e.g. ``(32, 128)``) is a multi-stage ladder: each
+    stage pools the previous stage's stragglers and re-solves them at
+    the next limit, the final stage unbounded — deeper lanes re-pay
+    their (bounded) prefix once per stage, but easy blocks retire after
+    a SHORT first pass instead of idling on their worst lane.  Absent stack/dim-cap
     overflow conservative-accepts, the returned TOI is bitwise identical
     to the unbounded single-pass result (pruning only ever discards
     domains with ``min_t >=`` the final TOI), so this is a pure
@@ -650,58 +655,97 @@ def pallas_find_roots(
         toi_per_query=toi_per_query, max_iterations=max_iterations,
         block_sub=block_sub,
     )
-    if round_limit >= 0 and not toi_per_query and max_iterations < 0:
-        toi1, ovf1, checks1, unfin = _find_roots_packed(
-            qrows, valid, round_limit=round_limit, **common
-        )
-        # The second pass is count-proportional (round-4: the always-on
-        # Q argsort + full-Q gather + full-grid second call cost
-        # +2.4-4.5 ms PER narrow batch — ~10% of a bench frame — even
-        # with zero stragglers).  lax.cond executes exactly one branch
-        # on device:
-        #   count == 0  -> skip: pass-1 result is already the answer;
-        #   count <= K  -> pool the stragglers (in original order, so
-        #                  sweep locality survives) into ONE solver
-        #                  block via cumsum + searchsorted + a K-row
-        #                  gather — no argsort, no full-grid call;
-        #   count >  K  -> the full stable-sorted pass (pathological
-        #                  skew; stragglers first, emptied trailing
-        #                  blocks exit their while loop on round one).
-        count = jnp.sum(unfin)
-        # pooled-branch capacity: a few solver blocks, not just one —
-        # at large narrow batches a lowered round_limit can strand a few
-        # thousand stragglers, and falling into the full argsort pass
-        # would re-pay the v1 always-on overhead every batch.  The pool
-        # is dense (deep lanes only), so its blocks run at high
-        # utilization regardless of size.
-        K = min(4 * block_sub * _LANE, -(-Q // (block_sub * _LANE))
-                * (block_sub * _LANE))
-        common2 = dict(common, toi_init=toi1)
-
-        def _skip(_):
-            return toi1, jnp.zeros((), bool), jnp.zeros_like(checks1)
-
-        def _small(_):
-            cum = jnp.cumsum(unfin)
-            idx = jnp.searchsorted(
-                cum, jnp.arange(1, K + 1, dtype=cum.dtype), side="left"
-            )
-            idx = jnp.minimum(idx, Q - 1)
-            q2 = jnp.take(qrows, idx, axis=0)
-            v2 = (jnp.arange(K, dtype=jnp.int32) < count).astype(jnp.int32)
-            return _find_roots_packed(q2, v2, round_limit=-1, **common2)
-
-        def _full(_):
-            order = jnp.argsort(-unfin)
-            qrows2 = jnp.take(qrows, order, axis=0)
-            v2 = jnp.take(unfin, order)
-            return _find_roots_packed(qrows2, v2, round_limit=-1, **common2)
-
-        toi, ovf2, checks2 = jax.lax.cond(
-            count == 0,
-            _skip,
-            lambda op: jax.lax.cond(count <= K, _small, _full, op),
-            None,
-        )
-        return toi, ovf1 | ovf2, checks1 + checks2
+    limits = _normalize_round_limits(round_limit)
+    if limits and not toi_per_query and max_iterations < 0:
+        return _escalate_ladder(qrows, valid, limits, common)
     return _find_roots_packed(qrows, valid, round_limit=-1, **common)
+
+
+def _normalize_round_limits(round_limit) -> tuple:
+    """``round_limit`` as a tuple of bounded-pass limits: ``-1``/``None``
+    -> ``()`` (single unbounded pass), ``int >= 0`` -> one bounded stage,
+    a tuple/list of ints -> a multi-stage ladder (strictly ascending, so
+    each stage's re-solve prefix is bounded by the previous limit)."""
+    if round_limit is None:
+        return ()
+    if isinstance(round_limit, (tuple, list)):
+        limits = tuple(int(r) for r in round_limit)
+        if not limits:
+            return ()
+        if any(r < 0 for r in limits):
+            raise ValueError(f"negative round limit in ladder {limits!r}")
+        if any(a >= b for a, b in zip(limits, limits[1:])):
+            raise ValueError(
+                f"escalation ladder must be strictly ascending: {limits!r}"
+            )
+        return limits
+    return (int(round_limit),) if round_limit >= 0 else ()
+
+
+def _escalate_ladder(qrows, valid, limits, common):
+    """One bounded pass at ``limits[0]``, then pool the unfinished lanes
+    and recurse on ``limits[1:]`` (final stage unbounded).
+
+    Each stage is count-proportional (round-4: the always-on Q argsort +
+    full-Q gather + full-grid second call cost +2.4-4.5 ms PER narrow
+    batch — ~10% of a bench frame — even with zero stragglers).
+    lax.cond executes exactly one branch on device:
+      count == 0  -> skip: this pass's result is already the answer;
+      count <= K  -> pool the stragglers (in original order, so sweep
+                     locality survives) into a few solver blocks via
+                     cumsum + searchsorted + a K-row gather — no argsort,
+                     no full-grid call — then run the REST of the ladder
+                     on the pool;
+      count >  K  -> the full stable-sorted unbounded pass (pathological
+                     skew; stragglers first, emptied trailing blocks
+                     exit their while loop on round one).
+    A pooled stage re-solves its lanes from scratch, so a multi-stage
+    ladder re-pays each straggler's prefix once per stage it survives —
+    the strictly-ascending limits bound that waste by the previous limit
+    while letting every easy block retire at a SHORT first pass instead
+    of idling until the per-block worst lane finishes (lane-occupancy
+    lever, PERF.md remaining-candidate 2)."""
+    block_sub = common["block_sub"]
+    Q = qrows.shape[0]
+    toi1, ovf1, checks1, unfin = _find_roots_packed(
+        qrows, valid, round_limit=limits[0], **common
+    )
+    count = jnp.sum(unfin)
+    # pooled-branch capacity: a few solver blocks, not just one — at
+    # large narrow batches a low first limit can strand a few thousand
+    # stragglers, and falling into the full argsort pass would re-pay
+    # the v1 always-on overhead every batch.  The pool is dense (deep
+    # lanes only), so its blocks run at high utilization regardless of
+    # size.
+    K = min(4 * block_sub * _LANE, -(-Q // (block_sub * _LANE))
+            * (block_sub * _LANE))
+    common2 = dict(common, toi_init=toi1)
+
+    def _skip(_):
+        return toi1, jnp.zeros((), bool), jnp.zeros_like(checks1)
+
+    def _small(_):
+        cum = jnp.cumsum(unfin)
+        idx = jnp.searchsorted(
+            cum, jnp.arange(1, K + 1, dtype=cum.dtype), side="left"
+        )
+        idx = jnp.minimum(idx, Q - 1)
+        q2 = jnp.take(qrows, idx, axis=0)
+        v2 = (jnp.arange(K, dtype=jnp.int32) < count).astype(jnp.int32)
+        if len(limits) > 1:
+            return _escalate_ladder(q2, v2, limits[1:], common2)
+        return _find_roots_packed(q2, v2, round_limit=-1, **common2)
+
+    def _full(_):
+        order = jnp.argsort(-unfin)
+        qrows2 = jnp.take(qrows, order, axis=0)
+        v2 = jnp.take(unfin, order)
+        return _find_roots_packed(qrows2, v2, round_limit=-1, **common2)
+
+    toi, ovf2, checks2 = jax.lax.cond(
+        count == 0,
+        _skip,
+        lambda op: jax.lax.cond(count <= K, _small, _full, op),
+        None,
+    )
+    return toi, ovf1 | ovf2, checks1 + checks2

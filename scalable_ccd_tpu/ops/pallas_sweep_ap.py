@@ -177,19 +177,7 @@ def pack_boxes_ap(
         [_SENTINEL, _SENTINEL, _SENTINEL, 0, 2**30], jnp.int32
     )
 
-    if n >= classify_min_boxes:
-        extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
-        thr = long_extent_factor * jnp.mean(extent)
-        # stable partition: short boxes first, long boxes after, each class
-        # in sorted-position order; ONE row gather applies it in the i32
-        # domain (f32 columns ride along bitcast to i32 — integer moves
-        # are bit-exact, while XLA:TPU flushes/canonicalizes f32 bit
-        # patterns that look like denormals/NaNs, i.e. precisely what
-        # i32 ids bitcast to f32 are; ~10 ns/row either way, PERF.md)
-        order = jnp.argsort((extent > thr).astype(jnp.int32), stable=True)
-    else:
-        # small scenes: subtile skew is cheap, the permutation gather is not
-        order = None
+    classify = n >= classify_min_boxes
 
     def planes(cols, fill, perm):
         if perm is not None:
@@ -199,13 +187,44 @@ def pack_boxes_ap(
         )  # (total, F)
         return jnp.transpose(padded.reshape(rows, _LANE, -1), (2, 0, 1))
 
-    if order is not None:
-        stacked = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(f_cols, jnp.int32), i_cols],
-            axis=1,
-        )[order]
-        f_perm = jax.lax.bitcast_convert_type(stacked[:, :6], jnp.float32)
-        i_perm = stacked[:, 6:]
+    if classify:
+        # stable partition: short boxes first, long boxes after, each class
+        # in sorted-position order.  Applied either as ONE row gather in
+        # the i32 domain (f32 columns ride along bitcast to i32 — integer
+        # moves are bit-exact, while XLA:TPU flushes/canonicalizes f32 bit
+        # patterns that look like denormals/NaNs, i.e. precisely what i32
+        # ids bitcast to f32 are; ~10 ns/row, PERF.md) or as ONE
+        # multi-operand stable lax.sort whose payload columns ride the
+        # sort's own data movement (same REORDER_IMPL switch as
+        # sort_boxes; small scenes skip the permutation entirely —
+        # subtile skew is cheap there, the reorder is not)
+        from scalable_ccd_tpu.broad_phase import sweep as _sweep
+
+        extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
+        thr = long_extent_factor * jnp.mean(extent)
+        if _sweep.REORDER_IMPL == "sort":
+            ops = jax.lax.sort(
+                ((extent > thr).astype(jnp.int32),
+                 *(jax.lax.bitcast_convert_type(f_cols[:, k], jnp.int32)
+                   for k in range(6)),
+                 *(i_cols[:, k] for k in range(5))),
+                num_keys=1, is_stable=True,
+            )
+            f_perm = jax.lax.bitcast_convert_type(
+                jnp.stack(ops[1:7], axis=1), jnp.float32
+            )
+            i_perm = jnp.stack(ops[7:], axis=1)
+        else:
+            order = jnp.argsort((extent > thr).astype(jnp.int32),
+                                stable=True)
+            stacked = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(f_cols, jnp.int32), i_cols],
+                axis=1,
+            )[order]
+            f_perm = jax.lax.bitcast_convert_type(
+                stacked[:, :6], jnp.float32
+            )
+            i_perm = stacked[:, 6:]
         bf6 = planes(f_perm, f_fill, None)
         bi = planes(i_perm, i_fill, None)
     else:
@@ -213,8 +232,8 @@ def pack_boxes_ap(
         bi = planes(i_cols, i_fill, None)
     # the partner stream reads SORTED order; when the a-side was not
     # permuted the same planes serve both sides (no second copy)
-    wf6 = bf6 if order is None else planes(f_cols, f_fill, None)
-    wi = bi if order is None else planes(i_cols, i_fill, None)
+    wf6 = planes(f_cols, f_fill, None) if classify else bf6
+    wi = planes(i_cols, i_fill, None) if classify else bi
 
     def extras(wf):
         """Partner-side stream-termination + skip planes (13 total).
@@ -257,9 +276,9 @@ def pack_boxes_ap(
         )
 
     wf = extras(wf6)
-    bf = wf if order is None else jnp.concatenate(
+    bf = jnp.concatenate(
         [bf6, jnp.zeros((_NF - 6, rows, _LANE), jnp.float32)]
-    )
+    ) if classify else wf
     return (bf, bi, wf, wi), n
 
 

@@ -84,6 +84,23 @@ def test_padded_sort_matches():
     assert padded == unpadded
 
 
+@pytest.mark.parametrize("bucket_minor", [False, True])
+def test_sort_boxes_reorder_sort_bitexact(bucket_minor):
+    """reorder="sort" (one multi-operand stable lax.sort) must be
+    bit-identical to the default argsort + stacked-gather path: both are
+    stable over the same key, so every field — including the f32 bit
+    patterns — must match exactly."""
+    scene = cloth_on_sphere(grid_n=16, sphere_subdiv=1, drop=0.3)
+    vb, eb, _ = _build(scene, jnp.float32)
+    for boxes in (eb, vb):
+        a = sort_boxes(boxes, bucket_minor=bucket_minor, reorder="gather")
+        b = sort_boxes(boxes, bucket_minor=bucket_minor, reorder="sort")
+        for fa, fb_ in zip(a, b):
+            assert np.array_equal(
+                np.asarray(fa).view(np.int32), np.asarray(fb_).view(np.int32)
+            )
+
+
 def test_cloth_scene_smoke_counts():
     """Contact-rich scene: VF and EE candidate sets are non-empty and exact."""
     scene = cloth_on_sphere(grid_n=24, sphere_subdiv=2, drop=0.3)

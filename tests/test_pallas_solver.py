@@ -337,6 +337,43 @@ def test_kernel_staged_escalation_exact(is_vf, round_limit):
     assert int(checks) > 0
 
 
+@pytest.mark.parametrize("ladder", [(0, 4), (1, 7, 30)])
+def test_kernel_escalation_ladder_exact(ladder):
+    """A multi-stage ladder (tuple ``round_limit``) pools each stage's
+    stragglers and re-solves them at the next limit, final stage
+    unbounded; absent overflow conservative-accepts the TOI stays
+    bitwise-identical to the unbounded single pass (each stage prunes
+    against the previous stage's TOI, which can only drop domains with
+    ``min_t >=`` the final answer)."""
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    q = _queries(scene, True)
+    valid = jnp.ones((q.n,), bool)
+    toi_ref, ovf_ref, _ = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True,
+    )
+    toi, ovf, checks = pallas_find_roots(
+        q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1e-6), interpret=True, round_limit=ladder,
+    )
+    assert not bool(ovf_ref) and not bool(ovf)
+    assert float(toi) == float(toi_ref)
+    assert int(checks) > 0
+
+
+def test_kernel_escalation_ladder_validation():
+    """Ladders must be strictly ascending and non-negative."""
+    scene = cloth_on_sphere(grid_n=6, sphere_subdiv=0, drop=0.35)
+    q = _queries(scene, True)
+    valid = jnp.ones((q.n,), bool)
+    for bad in ((4, 4), (8, 2), (-1, 4)):
+        with pytest.raises(ValueError):
+            pallas_find_roots(
+                q, valid, True, jnp.float32(1.0), jnp.float32(0.0),
+                jnp.float32(1e-6), interpret=True, round_limit=bad,
+            )
+
+
 def test_kernel_escalation_full_fallback():
     """count > K (4 solver blocks) drops to the full stable-sorted second
     pass; the TOI stays bitwise-identical to the unbounded single pass.
@@ -405,6 +442,9 @@ def test_fused_pipeline_escalation_matches_plain():
     r_esc = fused_ccd(*args, escalate_rounds=16, **kw)
     assert float(r_esc.toi) == float(r_plain.toi)
     assert bool(r_esc.solver_capped) == bool(r_plain.solver_capped)
+    r_lad = fused_ccd(*args, escalate_rounds=(4, 16), **kw)
+    assert float(r_lad.toi) == float(r_plain.toi)
+    assert bool(r_lad.solver_capped) == bool(r_plain.solver_capped)
 
 
 def test_auto_escalation_policy():

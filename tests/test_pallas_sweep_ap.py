@@ -126,6 +126,22 @@ def test_extent_classed_packing_matches(is_two_lists):
     assert not bool(ovf_u)
     assert _pairs_set(pairs_u, np_u) == _pairs_set(pairs, np_)
 
+    # the multi-operand-sort reorder path must produce bit-identical
+    # planes to the gather path (stable partition over the same 1-bit key)
+    from scalable_ccd_tpu.broad_phase import sweep as _sweep
+
+    old = _sweep.REORDER_IMPL
+    try:
+        _sweep.REORDER_IMPL = "sort"
+        packed_s, nn_s = pack_boxes_ap(sb, classify_min_boxes=1)
+    finally:
+        _sweep.REORDER_IMPL = old
+    assert nn_s == nn
+    for pa, pb in zip(packed, packed_s):
+        assert np.array_equal(
+            np.asarray(pa).view(np.int32), np.asarray(pb).view(np.int32)
+        )
+
 
 @pytest.mark.parametrize("layout", ["dense", "sparse", "mxu", "mxu16"])
 @pytest.mark.parametrize("is_two_lists", [True, False])
