@@ -6,4 +6,5 @@
 cd "$(dirname "$0")/.." || exit 1
 python tools/hw_sort_probe.py        > tools/logs/hw_sort_probe.log 2>&1
 python tools/hw_ladder_probe.py 1000 > tools/logs/hw_ladder_grid1000.log 2>&1
+python tools/hw_depth_hist.py 1000   > tools/logs/hw_depth_hist.log 2>&1
 echo "round4e queue done rc=$?"
