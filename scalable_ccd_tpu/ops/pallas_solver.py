@@ -632,22 +632,7 @@ def pallas_find_roots(
     round-overhead/worst-lane-skew tradeoff move; the hardware-measured
     default lives in the pipeline (``fused.py``).
     """
-    dt = jnp.float32
-    Q = queries.n
-
-    ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
-    err = jnp.where(
-        jnp.any(ms_arr > 0),
-        numerical_error_bound(queries, is_vf, True),
-        numerical_error_bound(queries, is_vf, False),
-    )
-    tol = compute_tolerance(queries, is_vf, tolerance)
-    qrows = jnp.concatenate(
-        [queries.p0s, queries.p1s, queries.p2s, queries.p3s,
-         queries.p0e, queries.p1e, queries.p2e, queries.p3e,
-         tol, err, ms_arr[:, None]],
-        axis=1,
-    ).astype(dt)  # (Q, 31) — same field order the kernel unpacks
+    qrows = pack_query_rows(queries, is_vf, ms, tolerance)
 
     common = dict(
         is_vf=is_vf, toi_init=toi_init, tolerance=tolerance,
@@ -659,6 +644,81 @@ def pallas_find_roots(
     if limits and not toi_per_query and max_iterations < 0:
         return _escalate_ladder(qrows, valid, limits, common)
     return _find_roots_packed(qrows, valid, round_limit=-1, **common)
+
+
+def pack_query_rows(queries: CCDQueries, is_vf: bool, ms, tolerance):
+    """(Q, 31) f32 packed rows in the kernel's field order: the eight
+    corner points, per-dim tolerance, per-dim error filter, ms.  The
+    frame-level straggler pool stores these rows directly, so a pooled
+    re-solve needs no record decode or endpoint gather."""
+    dt = jnp.float32
+    Q = queries.n
+    ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
+    err = jnp.where(
+        jnp.any(ms_arr > 0),
+        numerical_error_bound(queries, is_vf, True),
+        numerical_error_bound(queries, is_vf, False),
+    )
+    tol = compute_tolerance(queries, is_vf, tolerance)
+    return jnp.concatenate(
+        [queries.p0s, queries.p1s, queries.p2s, queries.p3s,
+         queries.p0e, queries.p1e, queries.p2e, queries.p3e,
+         tol, err, ms_arr[:, None]],
+        axis=1,
+    ).astype(dt)
+
+
+def pallas_find_roots_bounded(
+    queries: CCDQueries,
+    valid: jax.Array,
+    is_vf: bool,
+    toi_init,
+    ms,
+    tolerance,
+    round_limit: int,
+    allow_zero_toi: bool = True,
+    interpret: bool = False,
+    block_sub: int = _SUB,
+):
+    """One bounded global-mode pass, RAW: no in-call escalation.
+
+    Returns ``(toi, overflowed, checks, unfin, qrows)`` — the per-lane
+    ``unfin`` plane marks lanes still mid-search at ``round_limit`` (the
+    kernel reports them instead of folding a conservative accept), and
+    ``qrows`` is the packed (Q, 31) row array so the caller can pool
+    straggler rows across MANY batches and re-solve them densely later
+    (the frame-level escalation pool in ``pipeline/fused.py``) — the
+    per-batch ladder in :func:`pallas_find_roots` pays its pooling glue
+    per batch; this form amortizes it per frame."""
+    qrows = pack_query_rows(queries, is_vf, ms, tolerance)
+    toi, ovf, checks, unfin = _find_roots_packed(
+        qrows, valid, is_vf=is_vf, toi_init=toi_init, tolerance=tolerance,
+        allow_zero_toi=allow_zero_toi, interpret=interpret,
+        toi_per_query=False, max_iterations=-1,
+        round_limit=int(round_limit), block_sub=block_sub,
+    )
+    return toi, ovf, checks, unfin, qrows
+
+
+def pallas_solve_packed(
+    qrows,
+    valid: jax.Array,
+    is_vf: bool,
+    toi_init,
+    tolerance,
+    allow_zero_toi: bool = True,
+    interpret: bool = False,
+    block_sub: int = _SUB,
+):
+    """Unbounded global-mode solve of pre-packed (Q, 31) rows (see
+    :func:`pack_query_rows`); returns ``(toi, overflowed, checks)``.
+    Used by the frame-level straggler pool's dense second pass."""
+    return _find_roots_packed(
+        qrows, valid, is_vf=is_vf, toi_init=toi_init, tolerance=tolerance,
+        allow_zero_toi=allow_zero_toi, interpret=interpret,
+        toi_per_query=False, max_iterations=-1,
+        round_limit=-1, block_sub=block_sub,
+    )
 
 
 def _normalize_round_limits(round_limit) -> tuple:

@@ -120,10 +120,10 @@ def make_sharded_ccd(
     )
 
     if sweep_impl == "auto":
-        # same hardware winner as single-chip fused_ccd (round-4
-        # measurements): MXU bit-record emission + per-shard one-shot
-        # decode; XLA twin off-TPU
-        sweep_impl = "xla" if _pallas_interpret() else "pallas_mxu"
+        # same hardware winner as single-chip fused_ccd (round-4d
+        # measurements): 16-partner MXU bit-record emission + per-shard
+        # one-shot decode; XLA twin off-TPU
+        sweep_impl = "xla" if _pallas_interpret() else "pallas_mxu16"
     solver = _resolve_auto_solver(
         solver, max_iterations, dtype, _pallas_interpret())
     from scalable_ccd_tpu.pipeline.fused import _resolve_auto_escalation

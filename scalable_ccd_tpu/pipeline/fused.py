@@ -71,6 +71,8 @@ from scalable_ccd_tpu.ops import compact_rows
 from scalable_ccd_tpu.ops.pallas_solver import (
     SOLVER_BLOCK_SUB,
     pallas_find_roots,
+    pallas_find_roots_bounded,
+    pallas_solve_packed,
 )
 from scalable_ccd_tpu.ops.pallas_sweep_ap import (
     decode_pairs_ap,
@@ -531,6 +533,7 @@ def _phase(
     any_order: bool = False,
     escalate_rounds: int = -1,
     presample: bool = True,
+    escalate_pool: str = "batch",
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
 
@@ -978,6 +981,24 @@ def _phase(
             h_pairs = decode(h_pairs)
         return toi, n_true, overflow, checks, capped, h_pairs, h_toi, n_hits
 
+    # frame-level straggler pool (escalate_pool="frame"): every narrow
+    # batch runs ONE bounded pass and appends its mid-search lanes' packed
+    # query rows to a frame-wide buffer; a dense unbounded pass after the
+    # loop retires the whole tail at once.  The per-batch ladder pays its
+    # pooling glue (cumsum + gather + a second pallas dispatch) per batch
+    # even when one lane escalates — measured at grid-1000 that glue
+    # exceeds the occupancy win (PERF.md round-4d); amortized per frame it
+    # is paid once.  Exactness: identical argument to the per-batch
+    # ladder (pass-B re-solves every deferred lane from scratch, pruning
+    # only against valid upper bounds), so the TOI is bitwise-identical
+    # to the unbounded loop absent stack/dim-cap overflow accepts.
+    use_frame_pool = (
+        escalate_pool == "frame" and axis_name is None
+        and solver == "pallas" and not collect and not ipc_refine
+        and max_iterations < 0
+        and isinstance(escalate_rounds, int) and escalate_rounds >= 0
+    )
+
     if axis_name is None:
         if do_presample:
             chunk_s, valid_s = presample_chunk()
@@ -987,6 +1008,122 @@ def _phase(
             toi_start = toi_in
             ck_s = jnp.int32(0)
             capped_s = jnp.zeros((), bool)
+
+        if use_frame_pool:
+            block_sub = SOLVER_BLOCK_SUB if not _pallas_interpret() else 8
+            PB = block_sub * 128  # pool granularity: one solver block
+            # frame buffer: budget-proportional, block-aligned, one block
+            # of slack so an append at cursor == K stays in bounds
+            K = min(1 << 21, max(1 << 14, pair_budget >> 6))
+            K = -(-K // PB) * PB
+
+            def run_bounded(chunk, keep, toi):
+                if decode is not None:
+                    chunk = decode(chunk)
+                if is_vf:
+                    q = gather_vf_queries(
+                        v0, v1, faces, chunk, dtype=dtype, vcat=vcat,
+                        ftab=ftab)
+                else:
+                    q = gather_ee_queries(
+                        v0, v1, edges, chunk, dtype=dtype, vcat=vcat,
+                        etab=etab)
+                return pallas_find_roots_bounded(
+                    q, keep, is_vf, toi, ms, tolerance,
+                    round_limit=escalate_rounds,
+                    allow_zero_toi=allow_zero_toi,
+                    interpret=_pallas_interpret(), block_sub=block_sub,
+                )
+
+            def cond(st):
+                step, toi = st[0], st[1]
+                return (step * batch < n_pairs) & (toi > 0)
+
+            def body(st):
+                step, toi, checks, capped, r_lo, buf, cur = st
+                start = step * batch
+                chunk, r_lo = fetch(start, r_lo)
+                keep = (start + lane) < n_pairs
+                toi_new, ovf_b, ck, unfin, qrows = run_bounded(
+                    chunk, keep, toi)
+                toi_after = jnp.minimum(toi, toi_new)
+                cnt = jnp.sum(unfin, dtype=jnp.int32)
+
+                def skip(op):
+                    buf, cur = op
+                    return (buf, cur, toi_after, jnp.int32(0),
+                            jnp.zeros((), bool))
+
+                def pool(op):
+                    buf, cur = op
+                    cs = jnp.cumsum(unfin)
+                    idx = jnp.searchsorted(
+                        cs, jnp.arange(1, PB + 1, dtype=cs.dtype),
+                        side="left")
+                    idx = jnp.minimum(idx, batch - 1)
+                    rows = jnp.take(qrows, idx, axis=0)
+                    # rows past cnt duplicate real rows but land beyond
+                    # cur + cnt: the next append overwrites from there and
+                    # pass B masks on index < final cursor
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, rows, (cur, jnp.int32(0)))
+                    return (buf, cur + cnt, toi_after, jnp.int32(0),
+                            jnp.zeros((), bool))
+
+                def solve_now(op):
+                    # pool full (cursor past K) or a pathologically deep
+                    # batch (> one block of stragglers): retire this
+                    # batch's tail immediately, unbounded, pruned by the
+                    # running TOI — never drop, never conservative-fold
+                    buf, cur = op
+                    toi2, ovf2, ck2 = pallas_solve_packed(
+                        qrows, unfin, is_vf, toi_after, tolerance,
+                        allow_zero_toi=allow_zero_toi,
+                        interpret=_pallas_interpret(),
+                        block_sub=block_sub)
+                    return (buf, cur, jnp.minimum(toi_after, toi2),
+                            ck2.astype(jnp.int32), ovf2)
+
+                buf, cur, toi_after, ck2, ovf2 = jax.lax.cond(
+                    cnt == 0, skip,
+                    lambda op: jax.lax.cond(
+                        (cnt <= PB) & (cur <= K), pool, solve_now, op),
+                    (buf, cur),
+                )
+                return (step + 1, toi_after,
+                        checks + ck.astype(jnp.int32) + ck2,
+                        capped | ovf_b | ovf2, r_lo, buf, cur)
+
+            buf0 = jnp.zeros((K + PB, 31), jnp.float32)
+            st = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), toi_start, ck_s, capped_s, jnp.int32(0),
+                 buf0, jnp.int32(0)),
+            )
+            _, toi, checks, capped, _, buf, cur = st
+
+            # pass B: the pooled tail, dense, one solver block per call
+            b2lane = jnp.arange(PB, dtype=jnp.int32)
+
+            def cond2(st):
+                step, toi = st[0], st[1]
+                return (step * PB < cur) & (toi > 0)
+
+            def body2(st):
+                step, toi, checks, capped = st
+                rows = jax.lax.dynamic_slice(
+                    buf, (step * PB, jnp.int32(0)), (PB, 31))
+                valid2 = ((step * PB + b2lane) < cur).astype(jnp.int32)
+                toi2, ovf2, ck2 = pallas_solve_packed(
+                    rows, valid2, is_vf, toi, tolerance,
+                    allow_zero_toi=allow_zero_toi,
+                    interpret=_pallas_interpret(), block_sub=block_sub)
+                return (step + 1, jnp.minimum(toi, toi2),
+                        checks + ck2.astype(jnp.int32), capped | ovf2)
+
+            _, toi, checks, capped = jax.lax.while_loop(
+                cond2, body2, (jnp.int32(0), toi, checks, capped))
+            return toi, n_true, overflow, checks, capped
 
         def cond(st):
             step, toi, checks, capped, r_lo = st
@@ -1120,6 +1257,7 @@ def fused_ccd_core(
     bucket_minor: bool = False,
     escalate_rounds: int = -1,
     presample: bool = True,
+    escalate_pool: str = "batch",
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
 
@@ -1134,6 +1272,11 @@ def fused_ccd_core(
         raise ValueError(
             "bucket_minor ordering is only valid for the Pallas sweep "
             "kernels (the XLA sweep requires exactly-sorted major bounds)"
+        )
+    if escalate_pool not in ("batch", "frame"):
+        raise ValueError(
+            f"unknown escalate_pool {escalate_pool!r}: 'batch' (per-batch "
+            "ladder) or 'frame' (frame-level straggler pool)"
         )
     vb = build_vertex_boxes(
         vertices_t0, vertices_t1, inflation_radius=min_distance, dtype=dtype
@@ -1166,6 +1309,7 @@ def fused_ccd_core(
         any_order=bucket_minor,
         escalate_rounds=escalate_rounds,
         presample=presample,
+        escalate_pool=escalate_pool,
     )
     toi0 = jnp.asarray(1.0, dtype)
     if collect:
@@ -1229,6 +1373,7 @@ def fused_ccd_core(
         "bucket_minor",
         "escalate_rounds",
         "presample",
+        "escalate_pool",
     ),
 )
 def _fused_ccd_jit(
@@ -1257,6 +1402,7 @@ def _fused_ccd_jit(
     bucket_minor: bool = False,
     escalate_rounds: int = -1,
     presample: bool = True,
+    escalate_pool: str = "batch",
 ) -> FusedCCDResult:
     return fused_ccd_core(
         vertices_t0,
@@ -1285,6 +1431,7 @@ def _fused_ccd_jit(
         bucket_minor=bucket_minor,
         escalate_rounds=escalate_rounds,
         presample=presample,
+        escalate_pool=escalate_pool,
     )
 
 
@@ -1370,12 +1517,16 @@ def fused_ccd(
             None, solver, kwargs.get("max_iterations", -1)
         )
     if kwargs.get("sweep_impl") is None:
-        # MXU-placed bit-record emission on TPU — the measured winner at
-        # every scale (round 4: 127.9 vs 144.3 ms bench, 1935 vs 2288 ms
-        # grid-600, 6431 vs 7608 ms grid-1000 against raw pops);
+        # MXU-placed bit-record emission on TPU, 16-partner window steps
+        # — the measured winner at every scale (round 4d vs the 8-partner
+        # mxu: 38.0+38.5 vs 42.6+44.9 ms sweep-only at bench scale, 1836
+        # vs 2148 ms grid-600, 6367 vs 7245 ms grid-1000 full frames;
+        # mxu itself beat raw pops everywhere, hw_verify_r4b);
         # XLA shift-block elsewhere (interpret-mode partner streaming is
         # impractically slow on CPU)
-        kwargs["sweep_impl"] = "xla" if _pallas_interpret() else "pallas_mxu"
+        kwargs["sweep_impl"] = (
+            "xla" if _pallas_interpret() else "pallas_mxu16"
+        )
     n_vf_boxes = int(jnp.shape(vertices_t0)[0]) + int(jnp.shape(faces)[0])
     if kwargs.get("bucket_minor", "auto") == "auto":
         # congestion ordering pays off when thousands of boxes share each

@@ -447,6 +447,34 @@ def test_fused_pipeline_escalation_matches_plain():
     assert bool(r_lad.solver_capped) == bool(r_plain.solver_capped)
 
 
+@pytest.mark.parametrize("rl", [4, 0])
+def test_fused_frame_pool_matches_plain(rl):
+    """escalate_pool="frame": every narrow batch runs ONE bounded pass
+    and pools its mid-search lanes' packed rows into a frame-wide buffer
+    solved densely after the loop.  Absent overflow conservative-accepts
+    the TOI must equal the plain unbounded loop's (same pruning argument
+    as the per-batch ladder).  rl=0 forces > one solver block of
+    stragglers per batch on the EE phase — the immediate-solve fallback
+    branch; rl=4 exercises the pooled append + pass-B path."""
+    scene = cloth_on_sphere(grid_n=12, sphere_subdiv=1, drop=0.35)
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    args = (
+        jnp.asarray(scene.vertices_t0, jnp.float32),
+        jnp.asarray(scene.vertices_t1, jnp.float32),
+        jnp.asarray(scene.edges, jnp.int32),
+        jnp.asarray(scene.faces, jnp.int32),
+    )
+    kw = dict(vf_budget=1 << 14, ee_budget=1 << 14, dtype=jnp.float32,
+              solver="pallas", narrow_batch=1 << 11)
+    r_plain = fused_ccd(*args, escalate_rounds=-1, **kw)
+    r_frame = fused_ccd(*args, escalate_rounds=rl,
+                        escalate_pool="frame", **kw)
+    assert float(r_frame.toi) == float(r_plain.toi)
+    assert bool(r_frame.solver_capped) == bool(r_plain.solver_capped)
+    assert int(r_frame.total_checks) > 0
+
+
 def test_auto_escalation_policy():
     """The auto policy (VERDICT r3 item 3) enables staged escalation on
     the Pallas solver's exact global path — so the ``_MAX_ROUNDS``

@@ -27,11 +27,18 @@ from scalable_ccd_tpu.geometry.scenes import cloth_on_sphere
 from scalable_ccd_tpu.pipeline.fused import fused_ccd
 
 POLICIES = [
-    ("off", -1),
-    ("two-stage rl=128 (default)", 128),
-    ("two-stage rl=32", 32),
-    ("ladder (32,128)", (32, 128)),
-    ("ladder (16,64,256)", (16, 64, 256)),
+    ("off", dict(escalate_rounds=-1)),
+    ("two-stage rl=128 (default)", dict(escalate_rounds=128)),
+    ("ladder (32,128)", dict(escalate_rounds=(32, 128))),
+    ("frame pool rl=128", dict(escalate_rounds=128,
+                               escalate_pool="frame")),
+    ("frame pool rl=64", dict(escalate_rounds=64,
+                              escalate_pool="frame")),
+    ("frame pool rl=32", dict(escalate_rounds=32,
+                              escalate_pool="frame")),
+    ("frame pool rl=64 nb=64k", dict(escalate_rounds=64,
+                                     escalate_pool="frame",
+                                     narrow_batch=1 << 16)),
 ]
 
 
@@ -48,7 +55,7 @@ def main():
 
     for name, esc in POLICIES:
         kw = dict(max_iterations=-1, dtype=jnp.float32, validate=False,
-                  escalate_rounds=esc)
+                  **esc)
         t0 = time.perf_counter()
         r = fused_ccd(v0, v1, E, F, **kw)
         toi = float(jax.device_get(r.toi))
