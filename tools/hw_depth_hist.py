@@ -61,6 +61,15 @@ INTERPRET = jax.default_backend() != "tpu"  # CPU smoke runs
 
 
 def main():
+    import os
+
+    if os.path.exists("/tmp/skip_depth_hist"):
+        # ~18 grid-scale compiles — deferred when the round is about to
+        # end (a mid-dispatch kill risks wedging the TPU worker and a
+        # collision with the driver's bench run; CLAUDE.md)
+        print("skip flag set (/tmp/skip_depth_hist) — deferring",
+              flush=True)
+        return
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     subdiv = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     print("devices:", jax.devices(), flush=True)
