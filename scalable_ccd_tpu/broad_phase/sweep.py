@@ -82,10 +82,19 @@ _MINOR_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 #: "gather" = stable argsort + ONE stacked (n, 10) i32 row gather;
 #: "sort" = ONE multi-operand stable ``lax.sort`` that carries the ten
 #: payload columns through the sort itself (no gather at all).  Both are
-#: bit-identical (stable, same key).  Read once at import / trace time —
-#: pass the ``reorder`` kwarg explicitly to override per call (the jit
-#: cache keys on the kwarg, not on later mutations of this module var).
-REORDER_IMPL = "gather"
+#: bit-identical (stable, same key).  Hardware (round 4e,
+#: ``tools/logs/hw_sort_probe.log``, 3.1M boxes): "sort" wins 72.6 ->
+#: 59.2 ms plain and 80.4 -> 61.6 bucket_minor, so "auto" resolves to
+#: it ON TPU (row gathers are latency-bound there; XLA:CPU gathers are
+#: cheap and its multi-operand sort is not).  Read at trace time — pass
+#: the ``reorder`` kwarg explicitly to override per call (the jit cache
+#: keys on the kwarg, not on later mutations of this module var).
+REORDER_IMPL = "auto"
+
+#: Same switch for ``pack_boxes_ap``'s extent-class stable partition —
+#: kept on the gather: its 1-bit key sorts measurably SLOWER than
+#: argsort+gather at 3.1M rows (29.2 vs 31.3 ms, same probe).
+PACK_REORDER_IMPL = "gather"
 
 
 @functools.partial(
@@ -190,6 +199,8 @@ def sort_boxes(
         key = major_min
     if reorder is None:
         reorder = REORDER_IMPL
+    if reorder == "auto":
+        reorder = "sort" if jax.default_backend() == "tpu" else "gather"
     if reorder == "sort" and major_min.dtype == jnp.float32:
         # ONE multi-operand stable lax.sort: the ten payload columns ride
         # the sort's own data movement, replacing the argsort + stacked

@@ -202,7 +202,7 @@ def pack_boxes_ap(
 
         extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
         thr = long_extent_factor * jnp.mean(extent)
-        if _sweep.REORDER_IMPL == "sort":
+        if _sweep.PACK_REORDER_IMPL == "sort":
             ops = jax.lax.sort(
                 ((extent > thr).astype(jnp.int32),
                  *(jax.lax.bitcast_convert_type(f_cols[:, k], jnp.int32)

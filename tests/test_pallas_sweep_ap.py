@@ -130,12 +130,12 @@ def test_extent_classed_packing_matches(is_two_lists):
     # planes to the gather path (stable partition over the same 1-bit key)
     from scalable_ccd_tpu.broad_phase import sweep as _sweep
 
-    old = _sweep.REORDER_IMPL
+    old = _sweep.PACK_REORDER_IMPL
     try:
-        _sweep.REORDER_IMPL = "sort"
+        _sweep.PACK_REORDER_IMPL = "sort"
         packed_s, nn_s = pack_boxes_ap(sb, classify_min_boxes=1)
     finally:
-        _sweep.REORDER_IMPL = old
+        _sweep.PACK_REORDER_IMPL = old
     assert nn_s == nn
     for pa, pb in zip(packed, packed_s):
         assert np.array_equal(
