@@ -90,6 +90,17 @@ class CCDConfig:
     #: f32-derived conservative error filters (see narrow_phase/tolerance.py).
     dtype: str = "float32"
 
+    #: Narrow-phase inclusion-function precision: "f32" (plain working
+    #: dtype) or "compensated" — double-word f32 (~48-bit mantissa,
+    #: :mod:`scalable_ccd_tpu.ops.twofloat`) with the matching error
+    #: filter.  The TPU-runnable answer to the reference's default
+    #: ``Scalar=double`` build (``CMakeLists.txt:69``): scenes whose true
+    #: separations sit below the plain f32 filter (which conservatively
+    #: collapses their TOI toward 0) resolve to the f64-oracle value.
+    #: Runs on the XLA solvers (``solver`` auto-resolves away from the
+    #: Mosaic kernel, which computes in plain f32).
+    precision: str = "f32"
+
     #: Co-domain tolerance for the narrow-phase root finder
     #: (``CCDConfig::co_domain_tolerance``, ``cuda/narrow_phase/ccd_config.cuh``).
     tolerance: float = 1e-6

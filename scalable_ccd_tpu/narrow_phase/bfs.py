@@ -73,6 +73,7 @@ __all__ = ["find_roots_bfs"]
         "frontier_capacity",
         "tile",
         "max_rounds",
+        "compensated",
     ),
 )
 def find_roots_bfs(
@@ -88,6 +89,7 @@ def find_roots_bfs(
     frontier_capacity: int = 0,
     tile: int = 0,
     max_rounds: int = 1 << 14,
+    compensated: bool = False,
 ) -> RootFinderResult:
     """Batched earliest-TOI solve, queue formulation.
 
@@ -107,8 +109,8 @@ def find_roots_bfs(
     ms_arr = jnp.broadcast_to(jnp.asarray(ms, dt), (Q,))
     err = jnp.where(
         jnp.any(ms_arr > 0),
-        numerical_error_bound(queries, is_vf, True),
-        numerical_error_bound(queries, is_vf, False),
+        numerical_error_bound(queries, is_vf, True, compensated),
+        numerical_error_bound(queries, is_vf, False, compensated),
     )
     tol = compute_tolerance(queries, is_vf, tolerance)
     # one packed row per query: 8 endpoints + tol + err + ms = 31 floats.
@@ -187,7 +189,9 @@ def find_roots_bfs(
         if max_iterations >= 0:
             live = live & (pre_checks <= max_iterations)
 
-        hit, box_in, true_tol = _inclusion(dq, q_lo, q_hi, d_err, d_ms, is_vf)
+        hit, box_in, true_tol = _inclusion(
+            dq, q_lo, q_hi, d_err, d_ms, is_vf, compensated
+        )
         widths = q_hi - q_lo
         pos_ok = allow_zero_toi | (min_t > 0)
 

@@ -69,14 +69,53 @@ class RootFinderResult(NamedTuple):
     total_checks: jax.Array
 
 
-def _inclusion(q, lo, hi, err, ms, is_vf):
+def _inclusion(q, lo, hi, err, ms, is_vf, compensated=False):
     """8-corner inclusion test (``origin_in_inclusion_function``,
     ``root_finder.cu:157-198``).
 
     Returns (hit, box_in, true_tol): hit = the +-(err+ms) envelope intersects
     the corner box (a root is possible); box_in = the corner box lies fully
     inside the envelope; true_tol = widest codomain extent.
+
+    With ``compensated``, corners are evaluated in double-word f32
+    (:func:`scalable_ccd_tpu.narrow_phase.types.domain_corners_df`) and the
+    envelope tests become exact sign tests on double-word differences — the
+    ``err`` passed in must then be the compensated bound
+    (``numerical_error_bound(compensated=True)``).
     """
+    if compensated:
+        from scalable_ccd_tpu.ops import twofloat as tf
+        from scalable_ccd_tpu.narrow_phase.types import domain_corners_df
+
+        chw, clw = domain_corners_df(q, lo, hi, is_vf)
+        Q = chw.shape[0]
+        chw = chw.reshape(Q, 8, 3)
+        clw = clw.reshape(Q, 8, 3)
+        cmin = (chw[:, 0], clw[:, 0])
+        cmax = (chw[:, 0], clw[:, 0])
+        for i in range(1, 8):
+            ci = (chw[:, i], clw[:, i])
+            cmin = tf.minimum(cmin, ci)
+            cmax = tf.maximum(cmax, ci)
+        true_tol = jnp.maximum(
+            jnp.max(tf.sign_hi(tf.sub(cmax, cmin)), axis=1), 0.0
+        )
+        ms_ = ms[:, None]
+        # sign tests on normalized double-word differences are exact
+        # (the hi word carries the value's sign)
+        lo_m = tf.sub_f(tf.sub_f(cmin, ms_), err)  # cmin - ms - err
+        hi_p = tf.add_f(tf.add_f(cmax, ms_), err)  # cmax + ms + err
+        miss = (
+            jnp.any(tf.sign_hi(lo_m) > 0, axis=1)
+            | jnp.any(tf.sign_hi(hi_p) < 0, axis=1)
+        )
+        lo_in = tf.add_f(tf.add_f(cmin, ms_), err)  # cmin + ms + err
+        hi_in = tf.sub_f(tf.sub_f(cmax, ms_), err)  # cmax - ms - err
+        box_in = ~(
+            jnp.any(tf.sign_hi(lo_in) < 0, axis=1)
+            | jnp.any(tf.sign_hi(hi_in) > 0, axis=1)
+        )
+        return ~miss, box_in, true_tol
     c = domain_corners(q, lo, hi, is_vf)  # (Q, 2, 2, 2, 3)
     cmin = jnp.min(c, axis=(1, 2, 3))  # (Q, 3)
     cmax = jnp.max(c, axis=(1, 2, 3))
@@ -97,6 +136,7 @@ def _inclusion(q, lo, hi, err, ms, is_vf):
         "allow_zero_toi",
         "toi_per_query",
         "stack_capacity",
+        "compensated",
     ),
 )
 def find_roots(
@@ -110,6 +150,7 @@ def find_roots(
     allow_zero_toi: bool = True,
     toi_per_query: bool = False,
     stack_capacity: int = 96,
+    compensated: bool = False,
 ) -> RootFinderResult:
     """Solve a batch of CCD queries for their earliest time of impact.
 
@@ -119,6 +160,11 @@ def find_roots(
     TOI from earlier chunks (the reference threads ``Scalar& toi`` through
     every chunk, ``ccd.cu:66-73``); ``ms`` is the per-batch minimum
     separation; all of (t, u, v) start at [0, 1]^3.
+
+    ``compensated`` evaluates the inclusion function in double-word f32
+    (~48-bit mantissa) with the matching error filter — the TPU
+    counterpart of the reference's default ``Scalar=double`` build
+    (``CMakeLists.txt:69``); see :mod:`scalable_ccd_tpu.ops.twofloat`.
     """
     dt = queries.p0s.dtype
     Q = queries.n
@@ -128,8 +174,8 @@ def find_roots(
     use_ms = True  # trace-time: err bound selected by runtime ms below
     # The reference picks the filter constant from `use_ms = ms > 0`
     # (narrow_phase.cu:128). Both bounds are cheap; select per batch.
-    err_ms = numerical_error_bound(queries, is_vf, True)
-    err_nms = numerical_error_bound(queries, is_vf, False)
+    err_ms = numerical_error_bound(queries, is_vf, True, compensated)
+    err_nms = numerical_error_bound(queries, is_vf, False, compensated)
     any_ms = jnp.any(ms_arr > 0)
     err = jnp.where(any_ms, err_ms, err_nms)
     del use_ms
@@ -179,7 +225,9 @@ def find_roots(
             pruned = pruned | ((checks - 1) > max_iterations)
         live = active & ~pruned
 
-        hit, box_in, true_tol = _inclusion(queries, lo, hi, err, ms_arr, is_vf)
+        hit, box_in, true_tol = _inclusion(
+            queries, lo, hi, err, ms_arr, is_vf, compensated
+        )
         widths = hi - lo
         pos_ok = allow_zero_toi | (min_t > 0)
 

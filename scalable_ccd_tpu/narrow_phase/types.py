@@ -31,8 +31,10 @@ __all__ = [
     "pack_face_table",
     "pack_edge_table",
     "domain_corners",
+    "domain_corners_df",
     "compute_tolerance",
     "numerical_error_bound",
+    "COMPENSATED_EPS",
 ]
 
 
@@ -226,6 +228,62 @@ def domain_corners(
         return (bc(p1 - p0) * u + bc(p0)) - (bc(p3 - p2) * v + bc(p2))
 
 
+def domain_corners_df(
+    q: CCDQueries,
+    lo: jax.Array,
+    hi: jax.Array,
+    is_vf: bool,
+):
+    """Double-word (two-float) corner evaluation — the compensated twin of
+    :func:`domain_corners` for ``precision="compensated"`` mode.
+
+    Same residual F and corner enumeration, computed in double-word f32
+    (:mod:`scalable_ccd_tpu.ops.twofloat`): ~48 effective mantissa bits,
+    the TPU stand-in for the reference's default double build
+    (``CMakeLists.txt:69``, ``root_finder.cu:92-100``).  The domain bounds
+    ``lo``/``hi`` are dyadic rationals, exact in f32; the endpoints are the
+    exact f32 inputs — so the only rounding is the double-word ops' own
+    O(u^2) terms, covered by ``numerical_error_bound(compensated=True)``.
+
+    Returns an ``(hi_words, lo_words)`` pair, each ``(Q, 2, 2, 2, 3)``.
+    """
+    from scalable_ccd_tpu.ops import twofloat as tf
+
+    t = jnp.stack([lo[:, 0], hi[:, 0]], axis=1)[:, :, None]  # (Q, 2, 1)
+
+    def lerp(ps, pe):
+        d = tf.f_sub(pe, ps)  # exact (Q, 3) double-word
+        d = (d[0][:, None, :], d[1][:, None, :])
+        return tf.add_f(tf.mul_f(d, t), ps[:, None, :])  # (Q, 2, 3)
+
+    p0 = lerp(q.p0s, q.p0e)
+    p1 = lerp(q.p1s, q.p1e)
+    p2 = lerp(q.p2s, q.p2e)
+    p3 = lerp(q.p3s, q.p3e)
+
+    u = jnp.stack([lo[:, 1], hi[:, 1]], axis=1)[:, None, :, None, None]
+    v = jnp.stack([lo[:, 2], hi[:, 2]], axis=1)[:, None, None, :, None]
+
+    def bc(p):  # (Q, 2, 3) dw -> (Q, 2, 1, 1, 3) dw
+        return p[0][:, :, None, None, :], p[1][:, :, None, None, :]
+
+    if is_vf:
+        # p0 - (p2 - p1) * u - (p3 - p1) * v - p1   (root_finder.cu:144)
+        e21 = bc(tf.sub(p2, p1))
+        e31 = bc(tf.sub(p3, p1))
+        return tf.sub(
+            tf.sub(tf.sub(bc(p0), tf.mul_f(e21, u)), tf.mul_f(e31, v)),
+            bc(p1),
+        )
+    # ((p1 - p0) * u + p0) - ((p3 - p2) * v + p2)   (root_finder.cu:154)
+    e10 = bc(tf.sub(p1, p0))
+    e32 = bc(tf.sub(p3, p2))
+    return tf.sub(
+        tf.add(tf.mul_f(e10, u), bc(p0)),
+        tf.add(tf.mul_f(e32, v), bc(p2)),
+    )
+
+
 def compute_tolerance(q: CCDQueries, is_vf: bool, co_domain_tolerance) -> jax.Array:
     """Per-query (t, u, v) domain tolerances, shape (Q, 3).
 
@@ -263,7 +321,16 @@ def compute_tolerance(q: CCDQueries, is_vf: bool, co_domain_tolerance) -> jax.Ar
         return jnp.stack([co / (3 * ext_t), co / (3 * ext_t), co / (3 * ext_u)], axis=1)
 
 
-def numerical_error_bound(q: CCDQueries, is_vf: bool, use_ms: bool) -> jax.Array:
+#: per-op-chain epsilon of the double-word corner evaluation: each dw op
+#: carries <= 3 u^2 relative error (u = 2^-24, Joldes et al. 2017) and the
+#: longest chain is ~10 ops, so 2^-44 = 256 u^2 is conservative by ~8x
+#: (twofloat module docstring)
+COMPENSATED_EPS = 2.0 ** -44
+
+
+def numerical_error_bound(
+    q: CCDQueries, is_vf: bool, use_ms: bool, compensated: bool = False
+) -> jax.Array:
     """Conservative bound on the FP evaluation error of F, shape (Q, 3).
 
     The reference hard-codes eight filter constants
@@ -275,9 +342,13 @@ def numerical_error_bound(q: CCDQueries, is_vf: bool, use_ms: bool) -> jax.Array
     magnitude).  Deriving from eps keeps the bound correct for any working
     dtype: ``err[d] = max_d^3 * k * eps`` with ``max_d`` the largest absolute
     coordinate (clamped to >= 1) among all eight endpoints.
+
+    With ``compensated`` (the double-word evaluation of
+    :func:`domain_corners_df`), eps is :data:`COMPENSATED_EPS` — between
+    f32's 2^-24 and f64's 2^-53, reflecting the ~48-bit effective mantissa.
     """
     dt = q.p0s.dtype
-    eps = jnp.finfo(dt).eps
+    eps = COMPENSATED_EPS if compensated else jnp.finfo(dt).eps
     k = (30 if is_vf else 28) + (4 if use_ms else 0)
     pts = jnp.stack(
         [q.p0s, q.p1s, q.p2s, q.p3s, q.p0e, q.p1e, q.p2e, q.p3e], axis=1

@@ -50,17 +50,19 @@ __all__ = ["make_sharded_ccd", "sharded_ccd", "default_mesh"]
 AXIS = "ccd"
 
 
-def _resolve_auto_solver(solver, max_iterations, dtype, interpret):
+def _resolve_auto_solver(solver, max_iterations, dtype, interpret,
+                         precision="f32"):
     """Resolve ``solver="auto"`` exactly like single-chip ``fused_ccd``:
     the Mosaic kernel only for f32 + unbounded iterations + real hardware;
-    the XLA BFS solver otherwise.  Precision is a contract — an f64
-    request must never silently compute in f32 (reference
-    ``SCALABLE_CCD_USE_DOUBLE``, ``config.hpp.in:12``)."""
+    the XLA BFS solver otherwise.  Precision is a contract — an f64 or
+    compensated request must never silently compute in plain f32
+    (reference ``SCALABLE_CCD_USE_DOUBLE``, ``config.hpp.in:12``)."""
     if solver != "auto":
         return solver
     exact = max_iterations >= 0
     f32 = jnp.dtype(dtype) == jnp.float32
-    return "bfs" if (exact or not f32 or interpret) else "pallas"
+    comp = precision == "compensated"
+    return "bfs" if (exact or not f32 or interpret or comp) else "pallas"
 
 
 def default_mesh(devices=None) -> Mesh:
@@ -90,6 +92,7 @@ def make_sharded_ccd(
     collect: bool = False,
     escalate_rounds: Optional[int] = None,
     presample="auto",
+    precision: str = "f32",
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.
 
@@ -125,7 +128,7 @@ def make_sharded_ccd(
         # one-shot decode; XLA twin off-TPU
         sweep_impl = "xla" if _pallas_interpret() else "pallas_mxu16"
     solver = _resolve_auto_solver(
-        solver, max_iterations, dtype, _pallas_interpret())
+        solver, max_iterations, dtype, _pallas_interpret(), precision)
     from scalable_ccd_tpu.pipeline.fused import _resolve_auto_escalation
 
     escalate_rounds = _resolve_auto_escalation(
@@ -173,6 +176,7 @@ def make_sharded_ccd(
             collect=collect,
             escalate_rounds=escalate_rounds,
             presample=ps,
+            precision=precision,
             axis_name=AXIS,
         )
 

@@ -239,7 +239,12 @@ def _partial_ccd(
             use_pallas = (
                 config.solver == "pallas"
                 or (config.solver == "auto" and not _pallas_interpret())
-            ) and config.jnp_dtype == jnp.float32
+            ) and (
+                config.jnp_dtype == jnp.float32
+                # the compensated double-word mode runs on the XLA solvers
+                # (config.precision docstring)
+                and config.precision != "compensated"
+            )
             if use_pallas:
                 # the hardware kernel covers all three reference modes:
                 # global fast path, per-query TOI (TOI_PER_QUERY), and
@@ -309,6 +314,7 @@ def _partial_ccd(
                 allow_zero_toi=zero_ok,
                 # per-pair collision output needs exact per-query TOIs
                 toi_per_query=config.toi_per_query or collisions is not None,
+                compensated=config.precision == "compensated",
                 **kw,
             )
             toi = float(res.toi)

@@ -539,6 +539,7 @@ def _phase(
     escalate_rounds: int = -1,
     presample: bool = True,
     escalate_pool: str = "batch",
+    compensated: bool = False,
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
 
@@ -785,6 +786,7 @@ def _phase(
                 max_iterations=max_iter,
                 allow_zero_toi=zero_ok,
                 toi_per_query=collect,
+                compensated=compensated,
             )
         else:
             res = find_roots(
@@ -794,6 +796,7 @@ def _phase(
                 allow_zero_toi=zero_ok,
                 stack_capacity=stack_capacity,
                 toi_per_query=collect,
+                compensated=compensated,
             )
         return (
             res.toi, res.total_checks.astype(jnp.int32),
@@ -997,11 +1000,13 @@ def _phase(
     # ladder (pass-B re-solves every deferred lane from scratch, pruning
     # only against valid upper bounds), so the TOI is bitwise-identical
     # to the unbounded loop absent stack/dim-cap overflow accepts.
-    # STATUS (round 4e, hw_ladder_grid1000.log): MEASURED LOSS at every
-    # tried scale/knob (grid-1000: 6770-6783 ms vs 6362 per-batch rl=128,
-    # 6492 at nb=64k) — its own per-batch append glue is the cost.  Kept
-    # as the measured data point + machinery for future in-kernel refill
-    # comparisons (VERDICT r4 #9); the default stays "batch".
+    # STATUS (rounds 4e-5, hw_ladder_grid1000.log / hw_ladder_bench.log):
+    # scale-dependent.  Congested (grid-1000): LOSS — 6770-6783 ms vs 6362
+    # per-batch rl=128 (the per-batch append glue dominates at 918
+    # batches).  Bench scale: WIN — 116-118 ms vs the per-batch ladder's
+    # 121 (matches escalation-off; the cond-gated second stage pays its
+    # glue per batch).  fused_ccd's escalate_pool="auto" therefore selects
+    # "frame" below the congestion box-count threshold, "batch" above.
     use_frame_pool = (
         escalate_pool == "frame" and axis_name is None
         and solver == "pallas" and not collect and not ipc_refine
@@ -1273,6 +1278,7 @@ def fused_ccd_core(
     escalate_rounds: int = -1,
     presample: bool = True,
     escalate_pool: str = "batch",
+    precision: str = "f32",
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
 
@@ -1287,6 +1293,19 @@ def fused_ccd_core(
         raise ValueError(
             "bucket_minor ordering is only valid for the Pallas sweep "
             "kernels (the XLA sweep requires exactly-sorted major bounds)"
+        )
+    if precision not in ("f32", "compensated"):
+        raise ValueError(
+            f"unknown precision {precision!r}: 'f32' or 'compensated' "
+            "(double-word f32 inclusion function — the TPU counterpart of "
+            "the reference's Scalar=double default; for true f64 pass "
+            "dtype=jnp.float64 on CPU)"
+        )
+    if precision == "compensated" and solver == "pallas":
+        raise ValueError(
+            "precision='compensated' runs on the XLA solvers (pass "
+            "solver='bfs' or 'dfs', or leave solver=None in fused_ccd for "
+            "auto); the Mosaic kernel computes in plain f32"
         )
     if escalate_pool not in ("batch", "frame"):
         raise ValueError(
@@ -1351,6 +1370,7 @@ def fused_ccd_core(
         any_order=bucket_minor,
         escalate_rounds=escalate_rounds,
         escalate_pool=escalate_pool,
+        compensated=precision == "compensated",
     )
     # per-phase warm-start pre-batch: a (vf, ee) tuple resolves each phase
     # from its own box count (_resolve_auto_presample docstring); a plain
@@ -1421,6 +1441,7 @@ def fused_ccd_core(
         "escalate_rounds",
         "presample",
         "escalate_pool",
+        "precision",
     ),
 )
 def _fused_ccd_jit(
@@ -1450,6 +1471,7 @@ def _fused_ccd_jit(
     escalate_rounds: int = -1,
     presample: bool = True,
     escalate_pool: str = "batch",
+    precision: str = "f32",
 ) -> FusedCCDResult:
     return fused_ccd_core(
         vertices_t0,
@@ -1479,6 +1501,7 @@ def _fused_ccd_jit(
         escalate_rounds=escalate_rounds,
         presample=presample,
         escalate_pool=escalate_pool,
+        precision=precision,
     )
 
 
@@ -1537,6 +1560,15 @@ def fused_ccd(
     runs below the same congestion threshold only (measured -30% at
     bench scale, pure overhead at grid-1000 —
     :func:`_resolve_auto_presample`).  Exact either way.
+
+    ``precision="compensated"`` evaluates the narrow-phase inclusion
+    function in double-word f32 (~48-bit mantissa,
+    :mod:`scalable_ccd_tpu.ops.twofloat`) with the matching error filter
+    — the TPU answer to the reference's default ``Scalar=double`` build
+    (``CMakeLists.txt:69``): scenes whose separations sit below the plain
+    f32 filter (which conservatively collapses their TOI toward 0, e.g.
+    the committed dense-cluster golden scene) resolve to the f64-oracle
+    value.  Runs on the XLA solvers (solver auto-resolves to "bfs").
     """
     if validate:
         from scalable_ccd_tpu.geometry.mesh import validate_mesh_inputs
@@ -1556,9 +1588,13 @@ def fused_ccd(
         # the kernel now covers the exact per-query and bounded-iteration
         # modes too (the reference's TOI_PER_QUERY build is the same kernel
         # under a flag, root_finder.cu:293-298); it computes in f32, so
-        # explicit f64 requests keep the XLA solver
+        # explicit f64 requests — and the compensated double-word mode —
+        # keep the XLA solver
         f32 = kwargs.get("dtype", jnp.float32) == jnp.float32
-        solver = "pallas" if (f32 and not _pallas_interpret()) else "bfs"
+        plain = kwargs.get("precision", "f32") != "compensated"
+        solver = (
+            "pallas" if (f32 and plain and not _pallas_interpret()) else "bfs"
+        )
     if kwargs.get("escalate_rounds") is None:
         kwargs["escalate_rounds"] = _resolve_auto_escalation(
             None, solver, kwargs.get("max_iterations", -1)
@@ -1586,6 +1622,26 @@ def fused_ccd(
             n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
             and kwargs["sweep_impl"] != "xla"
         )
+    if kwargs.get("escalate_pool", "auto") in ("auto", None):
+        # straggler-pool scope (round-5 hardware, hw_ladder_bench.log vs
+        # hw_ladder_grid1000.log): at bench scale the FRAME pool matches
+        # escalation-off and beats the per-batch ladder (116-118 vs 121 ms
+        # — the per-batch cond-gated second stage pays its glue per batch),
+        # while at congested scale the frame pool's per-batch append glue
+        # loses (6778 vs 6362 ms at grid-1000).  Auto keys on the same
+        # congestion threshold as bucket_minor/presample, and only selects
+        # "frame" where its static preconditions hold (global single-chip
+        # Pallas fast path) so the fallback warning never fires on auto.
+        er = kwargs.get("escalate_rounds", -1)
+        frame_ok = (
+            solver == "pallas"
+            and collisions is None
+            and not kwargs.get("ipc_refine", False)
+            and kwargs.get("max_iterations", -1) < 0
+            and isinstance(er, int) and er >= 0
+            and n_vf_boxes < _AUTO_BUCKET_MIN_BOXES
+        )
+        kwargs["escalate_pool"] = "frame" if frame_ok else "batch"
     if kwargs.get("presample", "auto") in ("auto", None):
         # warm-start pre-batch below the congestion threshold only
         # (_resolve_auto_presample docstring: measured win at bench

@@ -301,6 +301,38 @@ def test_committed_golden_toi(scene):
         )
 
 
+def test_committed_golden_toi_compensated():
+    """``precision="compensated"`` (double-word f32 — the TPU stand-in for
+    the reference's default ``Scalar=double`` build) recovers the
+    dense-cluster f64-oracle TOI through the FULL pipelines, where plain
+    f32 collapses to 0 (the test above)."""
+    from scalable_ccd_tpu import ccd
+    from scalable_ccd_tpu.config import CCDConfig
+    from scalable_ccd_tpu.pipeline.fused import fused_ccd
+
+    scene = "dense-cluster"
+    f0, f1, _, _ = _golden_paths(scene)
+    with open(os.path.join(GOLDEN_DIR, scene, "toi.json")) as fh:
+        golden = json.load(fh)
+    v0, v1, edges, faces = parse_mesh(f0, f1)
+
+    res = fused_ccd(
+        v0, v1, edges, faces, max_iterations=-1,
+        tolerance=golden["tolerance"], dtype=jnp.float32,
+        precision="compensated",
+    )
+    assert not bool(res.overflowed)
+    assert 0.0 < float(res.toi) <= golden["toi"] * (1 + 1e-4) + 1e-9
+    assert float(res.toi) == pytest.approx(golden["toi"], rel=2e-2)
+
+    toi_c = ccd(
+        v0, v1, edges, faces, tolerance=golden["tolerance"],
+        config=CCDConfig(precision="compensated"),
+    )
+    assert 0.0 < toi_c <= golden["toi"] * (1 + 1e-4) + 1e-9
+    assert toi_c == pytest.approx(golden["toi"], rel=2e-2)
+
+
 # --------------------------------------------------------------------------
 # Offline self-tests of the harness itself (always run)
 
