@@ -93,6 +93,8 @@ def make_sharded_ccd(
     escalate_rounds: Optional[int] = None,
     presample="auto",
     precision: str = "f32",
+    partition: str = "replicated",
+    halo_boxes: int = 1 << 14,
 ):
     """Build a jitted multi-chip CCD step over ``mesh``.
 
@@ -116,7 +118,22 @@ def make_sharded_ccd(
     VF-box-count threshold on the kernel sweeps (the sort is replicated,
     so every shard sweeps the same order; the a-side range shard is
     ordering-agnostic).
+
+    ``partition`` selects the pod-scale memory mode: ``"replicated"``
+    (every shard holds the whole sorted box array — the reference's dead
+    multi-GPU layout, ``_multigpu/broad_phase.cu:113-115``) or ``"box"``
+    — each shard's live box planes are its owned tile-aligned slice of
+    the sorted order plus a right halo of ``halo_boxes`` covering every
+    partner its boxes can reach (``fused._partition_slice``): O(n/S +
+    halo) per chip, the BASELINE.json pod north star ("shard the sort
+    axis across ICI").  An insufficient halo sets ``overflowed`` — the
+    :func:`sharded_ccd` wrapper retries with a doubled halo; pairs are
+    never dropped silently.  Requires the kernel sweeps.
     """
+    if partition not in ("replicated", "box"):
+        raise ValueError(
+            f"unknown partition {partition!r}: 'replicated' or 'box'"
+        )
     from scalable_ccd_tpu.pipeline.fused import (
         _AUTO_BUCKET_MIN_BOXES,
         _pallas_interpret,
@@ -177,6 +194,7 @@ def make_sharded_ccd(
             escalate_rounds=escalate_rounds,
             presample=ps,
             precision=precision,
+            box_partition=halo_boxes if partition == "box" else 0,
             axis_name=AXIS,
         )
 
@@ -228,7 +246,7 @@ def sharded_ccd(
     mesh = default_mesh() if mesh is None else mesh
     fn = make_sharded_ccd(mesh, collect=collisions is not None, **kwargs)
     dtype = kwargs.get("dtype", jnp.float32)
-    res = fn(
+    args = (
         jnp.asarray(vertices_t0),
         jnp.asarray(vertices_t1),
         jnp.asarray(edges, jnp.int32),
@@ -236,6 +254,26 @@ def sharded_ccd(
         jnp.asarray(min_distance, dtype),
         jnp.asarray(tolerance, dtype),
     )
+    res = fn(*args)
+    if kwargs.get("partition") == "box":
+        # halo retry: an insufficient halo (or pair budget) surfaces as
+        # overflowed — grow the halo geometrically, like fused_ccd's
+        # auto pair budgets (memory_handler.hpp:11's retry protocol)
+        from scalable_ccd_tpu.ops.pallas_sweep_ap import _TILE
+
+        halo = kwargs.get("halo_boxes", 1 << 14)
+        for _ in range(3):
+            if not bool(res.overflowed):
+                break
+            # grow from the tile-aligned EFFECTIVE halo (the slice helper
+            # rounds up to whole tiles — quadrupling a sub-tile knob
+            # would change nothing)
+            halo = max(halo, _TILE) * 4
+            fn = make_sharded_ccd(
+                mesh, collect=collisions is not None,
+                **{**kwargs, "halo_boxes": halo},
+            )
+            res = fn(*args)
     if collisions is None:
         return res
 

@@ -179,6 +179,77 @@ __all__ = [
 ]
 
 
+def _partition_slice(sorted_boxes, axis_name, halo_boxes: int):
+    """Box-partition mode: slice this shard's owned boxes + right halo out
+    of the (replicated, **transient**) sorted arrays — the pod-scale memory
+    story (BASELINE.json north star: "shard the sort axis across ICI"; the
+    reference's dead multi-GPU code replicates everything,
+    ``_multigpu/broad_phase.cu:113-115``).
+
+    Shard ``s`` of ``S`` owns the tile-aligned sorted range
+    ``[s*C, (s+1)*C)`` (``C = ceil_tiles(n/S) * _TILE``) and carries a
+    static right halo of ``H`` boxes as the partner stream's reach: under
+    the sweep invariant every partner of an owned box sits before the
+    first position ``j`` with ``suffix_min(major_min)[j] >`` the owned
+    boxes' max ``major_max`` — monotone for ANY ordering, so the halo test
+    is exact for ``bucket_minor`` orderings too.  The full sorted arrays
+    exist only transiently inside the dispatch; the *live* per-shard box
+    planes handed to the sweep kernels are ``O(n/S + H)``.
+
+    Returns ``(local_sorted_boxes, tiles_per, halo_ok, L)`` where
+    ``local_*`` has exactly ``L = C + H`` rows (sentinel-padded past the
+    scene; sentinels have inverted intervals and stream/match nothing) and
+    ``halo_ok`` is False when a partner could lie beyond the halo — the
+    caller must then flag overflow so the host retries with a larger halo
+    (the same protocol as pair-budget overflow; pairs are never dropped
+    silently)."""
+    from scalable_ccd_tpu.broad_phase.sweep import SortedBoxes
+    from scalable_ccd_tpu.ops.pallas_sweep_ap import _TILE
+
+    S = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    n = sorted_boxes.n
+    tiles_total = -(-n // _TILE)
+    tiles_per = -(-tiles_total // S)
+    C = tiles_per * _TILE
+    H = max(-(-int(halo_boxes) // _TILE), 1) * _TILE
+    L = C + H
+    n_pad = S * C + H
+    big = jnp.finfo(sorted_boxes.major_min.dtype).max / 8
+
+    def pad(a, fill):
+        extra = n_pad - n
+        shape = (extra,) + a.shape[1:]
+        return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)])
+
+    mm = pad(sorted_boxes.major_min, big)
+    mx = pad(sorted_boxes.major_max, -big)
+    mn2 = pad(sorted_boxes.minor_min, big)
+    mx2 = pad(sorted_boxes.minor_max, -big)
+    vid = pad(sorted_boxes.vertex_ids, jnp.int32(-(2**31) + 1))
+    eid = pad(sorted_boxes.element_id, jnp.int32(0))
+
+    start = me * C
+
+    def sl(a):
+        sizes = (L,) + a.shape[1:]
+        idx = (start,) + (jnp.zeros_like(start),) * (a.ndim - 1)
+        return jax.lax.dynamic_slice(a, idx, sizes)
+
+    local = SortedBoxes(
+        major_min=sl(mm), major_max=sl(mx), minor_min=sl(mn2),
+        minor_max=sl(mx2), vertex_ids=sl(vid), element_id=sl(eid),
+    )
+    # halo sufficiency: exact via the global suffix-min of major_min
+    # (padding is +big, so it cannot lower the suffix-min)
+    fwd = jnp.flip(jax.lax.cummin(jnp.flip(mm)))
+    owned_mx = local.major_max[:C]
+    reach = jnp.max(jnp.where(local.major_min[:C] < big / 2, owned_mx, -big))
+    j = jnp.minimum(start + L, n_pad - 1)
+    halo_ok = (start + L >= n) | (fwd[j] > reach)
+    return local, tiles_per, halo_ok, L
+
+
 class FusedCCDResult(NamedTuple):
     #: () earliest TOI in [0, 1]; 1.0 = no contact (valid only if not overflowed)
     toi: jax.Array
@@ -540,6 +611,7 @@ def _phase(
     presample: bool = True,
     escalate_pool: str = "batch",
     compensated: bool = False,
+    box_partition: int = 0,
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
 
@@ -618,26 +690,46 @@ def _phase(
         else:
             # sharded records sweep: same a-side tile range shard as the
             # pairs kernel; each shard then decodes ITS OWN records to
-            # element-id pairs in one shot (records reference global
-            # sorted positions, so the replicated packed planes decode
-            # them identically on any shard) and the pooled/striped
-            # narrow loop below runs unchanged on final-id rows.  One
-            # budget-sized decode per shard per phase (~10 ns/row of
-            # gathers) buys kernel-speed emission on every chip.
+            # element-id pairs in one shot (records reference THIS
+            # shard's packed planes — the replicated full planes in
+            # replicated mode, the owned+halo slice in partition mode)
+            # and the pooled/striped narrow loop below runs unchanged on
+            # final-id rows.  One budget-sized decode per shard per phase
+            # (~10 ns/row of gathers) buys kernel-speed emission on
+            # every chip.
             from scalable_ccd_tpu.ops.pallas_sweep_ap import _TILE
 
             S = jax.lax.axis_size(axis_name)
             me = jax.lax.axis_index(axis_name)
-            tiles_total = -(-n // _TILE)
-            tiles_per = -(-tiles_total // S)
-            packed, n_real = pack_boxes_ap(
-                sorted_boxes, pad_to_tiles=tiles_per * S
-            )
+            if box_partition:
+                # distributed-partition mode (_partition_slice): live box
+                # planes are O(n/S + halo); a-side = local tiles
+                # [0, tiles_per) = the owned range.  Extent
+                # classification is disabled — it permutes the a-side
+                # across the whole local window, which would move halo
+                # boxes (owned by the next shards) into this shard's
+                # a-side enumeration and double-count their pairs.
+                local, tiles_per, halo_ok, _L = _partition_slice(
+                    sorted_boxes, axis_name, box_partition
+                )
+                packed, n_real = pack_boxes_ap(
+                    local, classify_min_boxes=1 << 62
+                )
+                tile0 = 0
+            else:
+                tiles_total = -(-n // _TILE)
+                tiles_per = -(-tiles_total // S)
+                packed, n_real = pack_boxes_ap(
+                    sorted_boxes, pad_to_tiles=tiles_per * S
+                )
+                tile0 = me * tiles_per
+                halo_ok = jnp.ones((), bool)
             records, n_recs, n_pairs, overflow = pallas_sweep_records(
                 packed, n_real, is_vf, pair_budget=pair_budget,
                 interpret=_pallas_interpret(), any_order=any_order,
-                layout=layout, tile0=me * tiles_per, n_tiles=tiles_per,
+                layout=layout, tile0=tile0, n_tiles=tiles_per,
             )
+            overflow = overflow | ~halo_ok
             cum = records_pair_prefix(records, n_recs)
             n_true = n_pairs
             pairs, _ = decode_records_range(
@@ -659,31 +751,56 @@ def _phase(
             )
         else:
             # range-sharded hardware sweep: shard s sweeps the a-side
-            # subtiles [s*T, (s+1)*T) of the (replicated) sorted array;
-            # the partner stream covers the whole array, so the union of
-            # the shards' pair sets is exactly the single-chip set — the
-            # TPU realization of the reference's dead multi-GPU range
-            # shard (``_multigpu/broad_phase.cu:72-115``), with the
-            # overflow budget applied per shard.
+            # subtiles [s*T, (s+1)*T) of the sorted array (replicated
+            # mode) or of its owned+halo slice (partition mode); the
+            # partner stream covers everything an owned box can reach, so
+            # the union of the shards' pair sets is exactly the
+            # single-chip set — the TPU realization of the reference's
+            # dead multi-GPU range shard
+            # (``_multigpu/broad_phase.cu:72-115``), with the overflow
+            # budget applied per shard.
             from scalable_ccd_tpu.ops.pallas_sweep_ap import _TILE
 
             S = jax.lax.axis_size(axis_name)
             me = jax.lax.axis_index(axis_name)
-            tiles_total = -(-n // _TILE)
-            tiles_per = -(-tiles_total // S)
-            packed, n_real = pack_boxes_ap(
-                sorted_boxes, pad_to_tiles=tiles_per * S
-            )
+            if box_partition:
+                local, tiles_per, halo_ok, _L = _partition_slice(
+                    sorted_boxes, axis_name, box_partition
+                )
+                packed, n_real = pack_boxes_ap(
+                    local, classify_min_boxes=1 << 62
+                )
+                tile0 = 0
+            else:
+                tiles_total = -(-n // _TILE)
+                tiles_per = -(-tiles_total // S)
+                packed, n_real = pack_boxes_ap(
+                    sorted_boxes, pad_to_tiles=tiles_per * S
+                )
+                tile0 = me * tiles_per
+                halo_ok = jnp.ones((), bool)
             pairs, n_pairs, n_true, overflow = pallas_sweep_pairs(
                 packed, n_real, is_vf, budget=pair_budget,
                 interpret=_pallas_interpret(),
-                tile0=me * tiles_per, n_tiles=tiles_per, raw=True,
+                tile0=tile0, n_tiles=tiles_per, raw=True,
                 any_order=any_order,
             )
-        # raw (a_slot, partner_eid) rows: element ids resolve per narrow
-        # batch — one small gather per batch instead of one budget-sized
-        # gather up front (decode_pairs_ap docstring)
-        decode = functools.partial(decode_pairs_ap, packed, is_two_lists=is_vf)
+            overflow = overflow | ~halo_ok
+        if axis_name is not None and box_partition:
+            # partition mode: raw a_slots reference the EMITTING shard's
+            # local planes, so cross-shard balanced stripes cannot decode
+            # them lazily — decode the whole buffer to element-id pairs
+            # once per shard before pooling (the records-sharded path's
+            # protocol; ~10 ns/row)
+            pairs = decode_pairs_ap(packed, pairs, is_two_lists=is_vf)
+            decode = None
+        else:
+            # raw (a_slot, partner_eid) rows: element ids resolve per
+            # narrow batch — one small gather per batch instead of one
+            # budget-sized gather up front (decode_pairs_ap docstring)
+            decode = functools.partial(
+                decode_pairs_ap, packed, is_two_lists=is_vf
+            )
         # slack rows so the narrow loop's dynamic slices never clamp
         pairs = jnp.concatenate(
             [pairs, jnp.full((batch, 2), jnp.int32(-(2**31) + 1))]
@@ -1279,8 +1396,16 @@ def fused_ccd_core(
     presample: bool = True,
     escalate_pool: str = "batch",
     precision: str = "f32",
+    box_partition: int = 0,
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
+
+    ``box_partition`` (sharded kernel sweeps only): a positive halo budget
+    in boxes switches the broad phase to distributed-partition mode — each
+    shard's live box planes are its owned sorted slice plus that halo
+    (:func:`_partition_slice`), O(n/S + halo) per chip instead of the
+    replicated O(n).  An insufficient halo sets ``overflowed`` (the host
+    retries larger, like pair budgets); pairs are never dropped silently.
 
     ``vf_budget`` / ``ee_budget`` bound the *surviving* candidate pairs per
     phase (per shard when sharded) — the analogue of the reference's
@@ -1307,6 +1432,19 @@ def fused_ccd_core(
             "solver='bfs' or 'dfs', or leave solver=None in fused_ccd for "
             "auto); the Mosaic kernel computes in plain f32"
         )
+    if box_partition:
+        if axis_name is None:
+            raise ValueError(
+                "box_partition is a multi-chip memory mode (shard_map "
+                "axis required); single-chip runs hold the whole scene "
+                "by definition"
+            )
+        if sweep_impl == "xla":
+            raise ValueError(
+                "box_partition requires the kernel sweeps (pallas_ap or "
+                "a records layout); the XLA shift-block sweep indexes "
+                "the full sorted array"
+            )
     if escalate_pool not in ("batch", "frame"):
         raise ValueError(
             f"unknown escalate_pool {escalate_pool!r}: 'batch' (per-batch "
@@ -1371,6 +1509,7 @@ def fused_ccd_core(
         escalate_rounds=escalate_rounds,
         escalate_pool=escalate_pool,
         compensated=precision == "compensated",
+        box_partition=box_partition,
     )
     # per-phase warm-start pre-batch: a (vf, ee) tuple resolves each phase
     # from its own box count (_resolve_auto_presample docstring); a plain

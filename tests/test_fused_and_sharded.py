@@ -414,3 +414,163 @@ class TestShardedBalance:
         assert int(res.ee_total) == int(single.ee_total)
         # mid-phase exchange keeps total exploration near single-chip level
         assert int(res.total_checks) <= 2 * int(single.total_checks)
+
+
+class TestBoxPartition:
+    """Distributed-partition mode (partition="box"): per-shard live box
+    planes are the owned sorted slice + halo (O(n/S + halo)) instead of the
+    replicated O(n) — the BASELINE.json pod north star.  Correctness bar:
+    identical TOI/pair totals to single-chip; insufficient halos must
+    surface as overflow and never drop pairs."""
+
+    def _mesh2(self):
+        return default_mesh(jax.devices()[:2])
+
+    def test_partition_slice_shapes_and_ownership(self):
+        """The per-shard live arrays are exactly C + H rows (C = owned
+        tile-aligned share ~ n/S), their owned prefixes tile the global
+        sorted array, and the halo flag is sound."""
+        from scalable_ccd_tpu.broad_phase.sweep import merge_two_lists, sort_boxes
+        from scalable_ccd_tpu.geometry.aabb import (
+            build_face_boxes,
+            build_vertex_boxes,
+        )
+        from scalable_ccd_tpu.ops.pallas_sweep_ap import _TILE
+        from scalable_ccd_tpu.pipeline.fused import _partition_slice
+
+        try:  # jax >= 0.6
+            from jax import shard_map as shard_map_fn
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as shard_map_fn
+        from jax.sharding import PartitionSpec as P
+
+        s = cloth_on_sphere(grid_n=24, sphere_subdiv=2, drop=0.4)
+        vb = build_vertex_boxes(
+            s.vertices_t0, s.vertices_t1, dtype=jnp.float32
+        )
+        fb = build_face_boxes(vb, s.faces)
+        sb = sort_boxes(merge_two_lists(vb, fb))
+        n = sb.n
+        S, H = 2, 1 << 10
+        C = -(-(-(-n // _TILE)) // S) * _TILE
+
+        mesh = self._mesh2()
+
+        def step(mm, mx, mn2, mx2, vid, eid):
+            from scalable_ccd_tpu.broad_phase.sweep import SortedBoxes
+
+            local, tiles_per, halo_ok, L = _partition_slice(
+                SortedBoxes(mm, mx, mn2, mx2, vid, eid), "ccd", H
+            )
+            return (local.major_min[None], local.element_id[None],
+                    jnp.broadcast_to(halo_ok, (1,)))
+
+        fn = shard_map_fn(
+            step, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=P("ccd"), check_vma=False,
+        )
+        mml, eidl, hok = jax.jit(fn)(
+            sb.major_min, sb.major_max, sb.minor_min, sb.minor_max,
+            sb.vertex_ids, sb.element_id,
+        )
+        L = C + -(-H // _TILE) * _TILE
+        assert mml.shape == (2, L)  # live arrays are C + H, not n
+        assert 2 * C >= n > C  # the scene genuinely splits across shards
+        # owned prefixes tile the global sorted order
+        np.testing.assert_array_equal(
+            np.asarray(mml[0][:C]), np.asarray(sb.major_min[:C])
+        )
+        real1 = min(L, n - C)
+        np.testing.assert_array_equal(
+            np.asarray(mml[1][:real1]), np.asarray(sb.major_min[C:C + real1])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(eidl[0][:C]), np.asarray(sb.element_id[:C])
+        )
+        # this scene's reach fits the halo on both shards
+        assert bool(hok[0]) and bool(hok[1])
+
+    @pytest.mark.parametrize("impl", ["pallas_ap", "pallas_mxu16"])
+    def test_partition_matches_single_chip(self, impl):
+        """2-shard box-partition equality with single-chip on a scene big
+        enough (~2.3k boxes/phase) that both shards own real tiles."""
+        s = cloth_on_sphere(grid_n=24, sphere_subdiv=2, drop=0.4)
+        args = _args(s, jnp.float32)
+        single = fused_ccd(
+            *args, vf_budget=1 << 13, ee_budget=1 << 13, dtype=jnp.float32,
+            sweep_impl=impl, solver="pallas",
+        )
+        assert not bool(single.overflowed)
+        fn = make_sharded_ccd(
+            self._mesh2(), vf_budget_per_shard=1 << 13,
+            ee_budget_per_shard=1 << 13, dtype=jnp.float32,
+            sweep_impl=impl, solver="pallas",
+            partition="box", halo_boxes=1 << 11,
+        )
+        res = fn(*args, jnp.float32(0.0), jnp.float32(1e-6))
+        assert not bool(res.overflowed)
+        assert float(res.toi) == float(single.toi)
+        assert int(res.vf_total) == int(single.vf_total)
+        assert int(res.ee_total) == int(single.ee_total)
+
+    def test_halo_overflow_detected_and_retried(self):
+        """A long-reach box (one sliver triangle spanning the whole sorted
+        axis) makes the minimum halo insufficient: the step must flag
+        overflow (never silently drop the long box's pairs), and the
+        sharded_ccd wrapper's halo retry must then recover the exact
+        single-chip result."""
+        from scalable_ccd_tpu.geometry.mesh import edges_from_faces
+        from scalable_ccd_tpu.parallel.sharded import sharded_ccd
+
+        # >3072 edge boxes along x so C + minimal H < n for shard 0, plus
+        # one long sliver whose edges reach across the entire sorted axis
+        # AND which drops onto the triangle row (real contacts whose pairs
+        # the halo must not lose)
+        ntri = 1100
+        tri = np.array([[0.0, 0.0, 0.0], [0.2, 0.0, 0.0], [0.0, 0.1, 0.0]])
+        v_parts, f_parts, nv = [], [], 0
+        for i in range(ntri):
+            t = tri + [0.5 * i, 0.0, 0.0]
+            v_parts.append(t)
+            f_parts.append(np.arange(3) + nv)
+            nv += 3
+        sliver0 = np.array(
+            [[0.0, 0.3, 0.0], [0.5 * ntri, 0.3, 0.0], [0.0, 0.35, 0.0]]
+        )
+        v_parts.append(sliver0)
+        f_parts.append(np.arange(3) + nv)
+        v0 = np.concatenate(v_parts)
+        faces = np.stack(f_parts).astype(np.int32)
+        edges = edges_from_faces(faces)
+        v1 = v0.copy()
+        v1[-3:] -= [0.0, 0.27, 0.0]  # the sliver drops into the row
+
+        args = (
+            jnp.asarray(v0, jnp.float32), jnp.asarray(v1, jnp.float32),
+            jnp.asarray(edges, jnp.int32), jnp.asarray(faces, jnp.int32),
+        )
+        single = fused_ccd(
+            *args, vf_budget=1 << 14, ee_budget=1 << 14, dtype=jnp.float32,
+            sweep_impl="pallas_ap", solver="pallas",
+        )
+        assert not bool(single.overflowed)
+
+        kw = dict(
+            vf_budget_per_shard=1 << 14, ee_budget_per_shard=1 << 14,
+            dtype=jnp.float32, sweep_impl="pallas_ap", solver="pallas",
+            partition="box",
+        )
+        # minimum halo: must be flagged insufficient, not silently wrong
+        fn = make_sharded_ccd(self._mesh2(), halo_boxes=1, **kw)
+        res_small = fn(*args, jnp.float32(0.0), jnp.float32(1e-6))
+        assert bool(res_small.overflowed)
+
+        # the wrapper's retry grows the halo until exact
+        res = sharded_ccd(
+            v0, v1, edges, faces, mesh=self._mesh2(), halo_boxes=1, **kw
+        )
+        assert not bool(res.overflowed)
+        assert float(res.toi) == float(single.toi)
+        assert int(res.vf_total) == int(single.vf_total)
+        assert int(res.ee_total) == int(single.ee_total)
