@@ -182,6 +182,14 @@ def main():
         # as-is timing (unbounded, warm toi — the steady-state loop)
         timed("as-is   ", lambda: solve_loop(
             pairs, n_p_dev, toi0, is_vf, -1, nb))
+        # glue floor: rl=0 runs the whole loop minus solver rounds
+        # (decode-slice + gathers + tol/err + pack + dispatch); rl=8 adds
+        # eight rounds per block.  The difference decomposes the residual
+        # into per-pair glue vs solver compute vs worst-lane tail.
+        timed("rl=0    ", lambda: solve_loop(
+            pairs, n_p_dev, toi0, is_vf, 0, nb))
+        timed("rl=8    ", lambda: solve_loop(
+            pairs, n_p_dev, toi0, is_vf, 8, nb))
 
         # oracle depth buckets from a bounded ladder (not timed)
         total = jnp.zeros((nb, B), jnp.int32)
