@@ -67,6 +67,7 @@ from scalable_ccd_tpu.narrow_phase import (
     gather_ee_queries,
     gather_vf_queries,
 )
+from scalable_ccd_tpu.narrow_phase.root_finder import compute_tolerance
 from scalable_ccd_tpu.ops import compact_rows
 from scalable_ccd_tpu.ops.pallas_solver import (
     SOLVER_BLOCK_SUB,
@@ -612,6 +613,7 @@ def _phase(
     escalate_pool: str = "batch",
     compensated: bool = False,
     box_partition: int = 0,
+    narrow_order: str = "sweep",
 ):
     """One simplex pairing (VF two-list or EE one-list) at fixed budgets.
 
@@ -856,6 +858,79 @@ def _phase(
         ftab = pack_face_table(vcat, faces)
     else:
         etab = pack_edge_table(vcat, edges)
+
+    if narrow_order == "key" and axis_name is None:
+        # ---- depth-key candidate ordering --------------------------------
+        # Batches arrive in sweep order, so one deep lane serializes its
+        # whole 2048-lane solver block: at grid-1000 the summed worst-lane
+        # depths are 3.4-3.7x what a depth-grouped order would pay
+        # (hw_depth_hist.log).  A pair's maximum bisection work is
+        # predictable from the query alone — ``sum_d ceil(log2(1/tol_d))``
+        # is the domain-subdivision budget if nothing prunes — so ONE
+        # multi-operand sort of the decoded pair stream by that static key
+        # groups similar-depth lanes into the same block.  The TOI is a
+        # min over pairs: any order is exact (pruning uses valid upper
+        # bounds only), and the warm-start pre-batch keeps the running TOI
+        # near-final from batch one regardless of ordering.  Costs one
+        # budget-sized decode + key gather + sort up front (~10 ns/row
+        # gathers); opt-in until the hardware probe prices the trade.
+        P = pair_budget
+        if pairs is None:
+            pairs_d, _ = decode_records_range(
+                packed, records, cum, jnp.int32(0), P, n_pairs,
+                jnp.int32(0), is_vf,
+            )
+        else:
+            pairs_d = pairs[:P]
+            if decode is not None:
+                pairs_d = decode(pairs_d)
+                decode = None
+
+        kb = batch
+        klane = jnp.arange(kb, dtype=jnp.int32)
+
+        def kbody(st):
+            step, keys = st
+            start = step * kb
+            chunk = jax.lax.dynamic_slice_in_dim(pairs_d, start, kb, axis=0)
+            if is_vf:
+                q = gather_vf_queries(
+                    v0, v1, faces, chunk, dtype=dtype, vcat=vcat, ftab=ftab
+                )
+            else:
+                q = gather_ee_queries(
+                    v0, v1, edges, chunk, dtype=dtype, vcat=vcat, etab=etab
+                )
+            tol = compute_tolerance(q, is_vf, jnp.asarray(tolerance, dtype))
+            k = jnp.sum(
+                jnp.ceil(jnp.log2(jnp.maximum(1.0 / tol, 1.0))), axis=1
+            ).astype(jnp.int32)
+            k = jnp.where((start + klane) < n_pairs, k, jnp.int32(2**30))
+            return step + 1, jax.lax.dynamic_update_slice_in_dim(
+                keys, k, start, axis=0
+            )
+
+        keys0 = jnp.full((P,), jnp.int32(2**30))
+        _, keys = jax.lax.while_loop(
+            lambda st: st[0] * kb < n_pairs, kbody, (jnp.int32(0), keys0)
+        )
+        # invalid rows carry key 2^30, so the sort parks them behind every
+        # real pair and the loops' `index < n_pairs` masks stay correct
+        ops_sorted = jax.lax.sort(
+            (keys, pairs_d[:, 0], pairs_d[:, 1]), num_keys=1
+        )
+        pairs = jnp.concatenate(
+            [
+                jnp.stack((ops_sorted[1], ops_sorted[2]), axis=1),
+                jnp.full((batch, 2), jnp.int32(-(2**31) + 1)),
+            ]
+        )
+
+        def fetch(start, r_lo):
+            return (
+                jax.lax.dynamic_slice_in_dim(pairs, start, batch, axis=0),
+                r_lo,
+            )
 
     def run_solver(chunk, keep, toi, ms_kw=None, max_iter=None, zero_ok=None):
         """Solve one dense candidate batch; returns
@@ -1397,6 +1472,7 @@ def fused_ccd_core(
     escalate_pool: str = "batch",
     precision: str = "f32",
     box_partition: int = 0,
+    narrow_order: str = "sweep",
 ) -> FusedCCDResult:
     """Trace-through core; see :func:`fused_ccd` for the jitted entry.
 
@@ -1450,6 +1526,22 @@ def fused_ccd_core(
             f"unknown escalate_pool {escalate_pool!r}: 'batch' (per-batch "
             "ladder) or 'frame' (frame-level straggler pool)"
         )
+    if narrow_order not in ("sweep", "key"):
+        raise ValueError(
+            f"unknown narrow_order {narrow_order!r}: 'sweep' (candidates "
+            "solved in sweep-emission order) or 'key' (one up-front sort "
+            "by the static bisection-depth predictor, grouping "
+            "similar-depth lanes into the same solver block)"
+        )
+    if narrow_order == "key" and axis_name is not None:
+        from scalable_ccd_tpu.utils.logging import logger
+
+        logger().warning(
+            "narrow_order='key' is single-chip only (the sharded loop "
+            "pools striped buffers whose order is collective); falling "
+            "back to sweep order (exact either way)"
+        )
+        narrow_order = "sweep"
     if escalate_pool == "frame":
         # the frame pool only implements the global single-chip Pallas
         # fast path; any other combination falls back to the per-batch
@@ -1510,6 +1602,7 @@ def fused_ccd_core(
         escalate_pool=escalate_pool,
         compensated=precision == "compensated",
         box_partition=box_partition,
+        narrow_order=narrow_order,
     )
     # per-phase warm-start pre-batch: a (vf, ee) tuple resolves each phase
     # from its own box count (_resolve_auto_presample docstring); a plain
@@ -1581,6 +1674,7 @@ def fused_ccd_core(
         "presample",
         "escalate_pool",
         "precision",
+        "narrow_order",
     ),
 )
 def _fused_ccd_jit(
@@ -1611,6 +1705,7 @@ def _fused_ccd_jit(
     presample: bool = True,
     escalate_pool: str = "batch",
     precision: str = "f32",
+    narrow_order: str = "sweep",
 ) -> FusedCCDResult:
     return fused_ccd_core(
         vertices_t0,
@@ -1641,6 +1736,7 @@ def _fused_ccd_jit(
         presample=presample,
         escalate_pool=escalate_pool,
         precision=precision,
+        narrow_order=narrow_order,
     )
 
 
@@ -1699,6 +1795,14 @@ def fused_ccd(
     runs below the same congestion threshold only (measured -30% at
     bench scale, pure overhead at grid-1000 —
     :func:`_resolve_auto_presample`).  Exact either way.
+
+    ``narrow_order`` defaults to ``"auto"``: above the congestion
+    threshold on the kernel sweeps, the decoded candidate stream is
+    sorted once by a static bisection-depth predictor before the narrow
+    loop (``"key"``), so similar-depth lanes share a solver block and one
+    deep lane no longer serializes 2048 shallow ones (hw_depth_hist:
+    3.4-3.7x summed worst-lane depth at grid-1000).  Exact in every mode
+    (the TOI is a min over pairs; per-pair hits are order-free sets).
 
     ``precision="compensated"`` evaluates the narrow-phase inclusion
     function in double-word f32 (~48-bit mantissa,
@@ -1781,6 +1885,23 @@ def fused_ccd(
             and n_vf_boxes < _AUTO_BUCKET_MIN_BOXES
         )
         kwargs["escalate_pool"] = "frame" if frame_ok else "batch"
+    if kwargs.get("narrow_order", "auto") in ("auto", None):
+        # depth-key candidate ordering (_phase docstring block): groups
+        # similar-depth lanes into the same solver block so one deep lane
+        # no longer serializes 2048 shallow ones.  Auto keys on the same
+        # congestion threshold as bucket_minor: the depth skew it removes
+        # is a congested-scene phenomenon (hw_depth_hist: 3.4-3.7x summed
+        # worst-lane depth at grid-1000), while below the threshold the
+        # up-front decode+sort is pure overhead on a near-uniform stream.
+        kwargs["narrow_order"] = (
+            "key"
+            if (
+                n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
+                and kwargs["sweep_impl"] != "xla"
+                and not kwargs.get("ipc_refine", False)
+            )
+            else "sweep"
+        )
     if kwargs.get("presample", "auto") in ("auto", None):
         # warm-start pre-batch below the congestion threshold only
         # (_resolve_auto_presample docstring: measured win at bench

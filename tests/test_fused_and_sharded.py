@@ -274,6 +274,59 @@ def test_fused_many_narrow_batches_matches(scene=None):
     assert int(small.ee_total) == int(big.ee_total)
 
 
+class TestNarrowOrder:
+    """Depth-key candidate ordering (``narrow_order='key'``): one up-front
+    sort of the decoded pair stream by the static bisection-depth
+    predictor.  The winning pair completes its full search under any
+    order (nothing prunes below the global minimum), so the TOI must be
+    exactly the sweep-order value; per-pair hits are order-free sets."""
+
+    def test_key_matches_sweep_global(self, scene):
+        args = _args(scene, jnp.float32)
+        kw = dict(vf_budget=1 << 15, ee_budget=1 << 15, solver="bfs")
+        a = fused_ccd(*args, narrow_order="sweep", **kw)
+        b = fused_ccd(*args, narrow_order="key", **kw)
+        assert not bool(a.overflowed) and not bool(b.overflowed)
+        assert float(b.toi) == float(a.toi)
+        assert int(b.vf_total) == int(a.vf_total)
+        assert int(b.ee_total) == int(a.ee_total)
+
+    def test_key_matches_sweep_collect(self, scene):
+        args = _args(scene, jnp.float64)
+        kw = dict(vf_budget=1 << 15, ee_budget=1 << 15, dtype=jnp.float64)
+        ha, hb = [], []
+        a = fused_ccd(*args, narrow_order="sweep", collisions=ha, **kw)
+        b = fused_ccd(*args, narrow_order="key", collisions=hb, **kw)
+        assert float(b.toi) == float(a.toi)
+        am = {(i, j): t for i, j, t in ha}
+        bm = {(i, j): t for i, j, t in hb}
+        assert set(am) == set(bm) and len(am) > 0
+        for k in am:
+            assert bm[k] == pytest.approx(am[k], rel=1e-12, abs=1e-300)
+
+    def test_key_records_path(self):
+        """The records sweep has no dense pair buffer; narrow_order='key'
+        must decode the full stream once and still match."""
+        s = cloth_on_sphere(grid_n=8, sphere_subdiv=1, drop=0.6)
+        args = _args(s, jnp.float32)
+        kw = dict(vf_budget=1 << 13, ee_budget=1 << 13,
+                  sweep_impl="pallas_mxu", solver="bfs")
+        a = fused_ccd(*args, narrow_order="sweep", **kw)
+        b = fused_ccd(*args, narrow_order="key", **kw)
+        assert not bool(a.overflowed) and not bool(b.overflowed)
+        assert float(b.toi) == float(a.toi)
+        assert int(b.vf_total) == int(a.vf_total)
+        assert int(b.ee_total) == int(a.ee_total)
+
+    def test_key_tiny_budget_edgecases(self):
+        """Budgets == batch (no warm-start, single batch) and a no-contact
+        scene (n_pairs may be 0: the key loop must be a no-op)."""
+        soup = triangle_soup(n_triangles=6, motion=0.0, seed=2)
+        res = fused_ccd(*_args(soup, jnp.float32), vf_budget=1 << 10,
+                        ee_budget=1 << 10, narrow_order="key", solver="bfs")
+        assert float(res.toi) == 1.0
+
+
 class TestFusedCollisions:
     def test_matches_chunked_collisions(self, scene):
         """Per-pair hits from the fused pipeline (TOI_PER_QUERY mode,
