@@ -7,4 +7,5 @@ cd "$(dirname "$0")/.." || exit 1
 python bench.py                      > tools/logs/bench_r5c.log 2>&1
 python tools/hw_depth_order.py 1000  > tools/logs/hw_depth_order.log 2>&1
 python tools/hw_compensated_probe.py > tools/logs/hw_compensated.log 2>&1
+python tools/hw_narrow_order.py 1000 > tools/logs/hw_narrow_order.log 2>&1
 echo "round5c queue done rc=$?"
