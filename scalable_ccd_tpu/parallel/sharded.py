@@ -92,6 +92,7 @@ def make_sharded_ccd(
     collect: bool = False,
     escalate_rounds: Optional[int] = None,
     presample="auto",
+    narrow_order: str = "auto",
     precision: str = "f32",
     partition: str = "replicated",
     halo_boxes: int = 1 << 14,
@@ -118,6 +119,12 @@ def make_sharded_ccd(
     VF-box-count threshold on the kernel sweeps (the sort is replicated,
     so every shard sweeps the same order; the a-side range shard is
     ordering-agnostic).
+
+    ``narrow_order="auto"`` mirrors :func:`fused_ccd`: above the
+    congestion threshold each shard sorts its balanced candidate stripe
+    once by the static bisection-depth key (local sort, collectively
+    uniform loop bound), so one deep lane no longer serializes a whole
+    solver block.  Exact in every mode.
 
     ``partition`` selects the pod-scale memory mode: ``"replicated"``
     (every shard holds the whole sorted box array — the reference's dead
@@ -169,6 +176,20 @@ def make_sharded_ccd(
         ps_vf = _resolve_auto_presample(presample, n_vf_boxes)
         ps_ee = _resolve_auto_presample(presample, edges.shape[0])
         ps = ps_vf if ps_vf == ps_ee else (ps_vf, ps_ee)
+        no = narrow_order
+        if no == "auto":
+            # depth-key ordering of each shard's balanced stripe above the
+            # same congestion threshold as single-chip fused_ccd (the
+            # depth skew it removes is a congested-scene phenomenon)
+            no = (
+                "key"
+                if (
+                    n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
+                    and sweep_impl != "xla"
+                    and not ipc_refine
+                )
+                else "sweep"
+            )
         return fused_ccd_core(
             v0,
             v1,
@@ -193,6 +214,7 @@ def make_sharded_ccd(
             collect=collect,
             escalate_rounds=escalate_rounds,
             presample=ps,
+            narrow_order=no,
             precision=precision,
             box_partition=halo_boxes if partition == "box" else 0,
             axis_name=AXIS,

@@ -859,40 +859,28 @@ def _phase(
     else:
         etab = pack_edge_table(vcat, edges)
 
-    if narrow_order == "key" and axis_name is None:
-        # ---- depth-key candidate ordering --------------------------------
-        # Batches arrive in sweep order, so one deep lane serializes its
-        # whole 2048-lane solver block: at grid-1000 the summed worst-lane
-        # depths are 3.4-3.7x what a depth-grouped order would pay
-        # (hw_depth_hist.log).  A pair's maximum bisection work is
-        # predictable from the query alone — ``sum_d ceil(log2(1/tol_d))``
-        # is the domain-subdivision budget if nothing prunes — so ONE
-        # multi-operand sort of the decoded pair stream by that static key
-        # groups similar-depth lanes into the same block.  The TOI is a
-        # min over pairs: any order is exact (pruning uses valid upper
-        # bounds only), and the warm-start pre-batch keeps the running TOI
-        # near-final from batch one regardless of ordering.  Costs one
-        # budget-sized decode + key gather + sort up front (~10 ns/row
-        # gathers); opt-in until the hardware probe prices the trade.
-        P = pair_budget
-        if pairs is None:
-            pairs_d, _ = decode_records_range(
-                packed, records, cum, jnp.int32(0), P, n_pairs,
-                jnp.int32(0), is_vf,
-            )
-        else:
-            pairs_d = pairs[:P]
-            if decode is not None:
-                pairs_d = decode(pairs_d)
-                decode = None
+    def _depth_keys(buf, n_valid, bound):
+        """i32 bisection-depth key per row of ``buf`` (element-id pairs).
 
+        ``sum_d ceil(log2(1/tol_d))`` is the domain-subdivision budget if
+        nothing prunes — a static per-pair depth predictor computable
+        from the query alone.  Rows at index >= ``n_valid`` (and rows the
+        data-proportional loop never reaches, bounded by ``bound``) key
+        to 2^30 so a sort parks them behind every real pair.  ``bound``
+        must be collectively uniform under ``shard_map``.
+        """
         kb = batch
         klane = jnp.arange(kb, dtype=jnp.int32)
 
         def kbody(st):
             step, keys = st
             start = step * kb
-            chunk = jax.lax.dynamic_slice_in_dim(pairs_d, start, kb, axis=0)
+            chunk = jax.lax.dynamic_slice_in_dim(buf, start, kb, axis=0)
+            if decode is not None:
+                # raw sweep rows (pallas_ap lazy decode): resolve element
+                # ids per key batch; the sorted buffer keeps RAW rows and
+                # the narrow loop's per-batch decode applies unchanged
+                chunk = decode(chunk)
             if is_vf:
                 q = gather_vf_queries(
                     v0, v1, faces, chunk, dtype=dtype, vcat=vcat, ftab=ftab
@@ -905,26 +893,57 @@ def _phase(
             k = jnp.sum(
                 jnp.ceil(jnp.log2(jnp.maximum(1.0 / tol, 1.0))), axis=1
             ).astype(jnp.int32)
-            k = jnp.where((start + klane) < n_pairs, k, jnp.int32(2**30))
+            k = jnp.where((start + klane) < n_valid, k, jnp.int32(2**30))
             return step + 1, jax.lax.dynamic_update_slice_in_dim(
                 keys, k, start, axis=0
             )
 
-        keys0 = jnp.full((P,), jnp.int32(2**30))
+        keys0 = jnp.full((buf.shape[0],), jnp.int32(2**30))
         _, keys = jax.lax.while_loop(
-            lambda st: st[0] * kb < n_pairs, kbody, (jnp.int32(0), keys0)
+            lambda st: st[0] * kb < bound, kbody, (jnp.int32(0), keys0)
         )
-        # invalid rows carry key 2^30, so the sort parks them behind every
-        # real pair and the loops' `index < n_pairs` masks stay correct
+        return keys
+
+    def _key_sort(buf, n_valid, bound, slack):
+        """Sort ``buf`` rows by depth key; invalid rows park at the back,
+        so every ``index < n_valid`` mask stays correct afterwards.
+        ``slack`` sentinel rows are appended for clamp-free slices."""
+        keys = _depth_keys(buf, n_valid, bound)
         ops_sorted = jax.lax.sort(
-            (keys, pairs_d[:, 0], pairs_d[:, 1]), num_keys=1
+            (keys, buf[:, 0], buf[:, 1]), num_keys=1
         )
-        pairs = jnp.concatenate(
-            [
-                jnp.stack((ops_sorted[1], ops_sorted[2]), axis=1),
-                jnp.full((batch, 2), jnp.int32(-(2**31) + 1)),
-            ]
-        )
+        out = jnp.stack((ops_sorted[1], ops_sorted[2]), axis=1)
+        if slack:
+            out = jnp.concatenate(
+                [out, jnp.full((slack, 2), jnp.int32(-(2**31) + 1))]
+            )
+        return out
+
+    if narrow_order == "key" and axis_name is None:
+        # ---- depth-key candidate ordering --------------------------------
+        # Batches arrive in sweep order, so one deep lane serializes its
+        # whole 2048-lane solver block: at grid-1000 the summed worst-lane
+        # depths are 3.4-3.7x what a depth-grouped order would pay
+        # (hw_depth_hist.log).  ONE multi-operand sort of the decoded pair
+        # stream by the static depth key groups similar-depth lanes into
+        # the same block.  The TOI is a min over pairs: any order is exact
+        # (pruning uses valid upper bounds only), and the warm-start
+        # pre-batch keeps the running TOI near-final from batch one
+        # regardless of ordering.  Costs one budget-sized decode + key
+        # gather + sort up front (~10 ns/row gathers).
+        P = pair_budget
+        if pairs is None:
+            # records layout: no dense row buffer exists — materialize the
+            # decoded stream once (raw-row layouts instead keep their lazy
+            # per-batch decode; _key_sort permutes the raw rows)
+            pairs_d, _ = decode_records_range(
+                packed, records, cum, jnp.int32(0), P, n_pairs,
+                jnp.int32(0), is_vf,
+            )
+        else:
+            pairs_d = pairs[:P]
+
+        pairs = _key_sort(pairs_d, n_pairs, n_pairs, batch)
 
         def fetch(start, r_lo):
             return (
@@ -1070,6 +1089,14 @@ def _phase(
         # (``narrow_phase.cu:197-202``), without a host in the loop.
         S = jax.lax.axis_size(axis_name)
         pairs_bal, mask_bal, used = balance_sharded()
+        if narrow_order == "key":
+            # per-shard depth ordering of the balanced stripe: the sort is
+            # local (each shard orders its own dense prefix), the loop
+            # bound `used` is already collectively uniform, and the
+            # `index < wp` masks survive the sort because invalid rows
+            # park at the back
+            wp_me = jnp.sum(mask_bal.astype(jnp.int32))
+            pairs_bal = _key_sort(pairs_bal, wp_me, used, 0)
         Pb = pairs_bal.shape[0]
         pq0 = jnp.full((Pb,), jnp.inf, dtype)
 
@@ -1388,6 +1415,11 @@ def _phase(
     # budget-rounded bound cost a mesh-of-1 run 3.3x the single-chip
     # time in empty masked batches).
     pairs_bal, mask_bal, used = balance_sharded()
+    if narrow_order == "key":
+        # per-shard depth ordering of the balanced stripe (see the collect
+        # branch above: local sort, uniform bound, masks survive)
+        wp_me_k = jnp.sum(mask_bal.astype(jnp.int32))
+        pairs_bal = _key_sort(pairs_bal, wp_me_k, used, 0)
 
     # TOI warm-start pre-batch, sharded flavor: each shard samples its own
     # balanced dense prefix (strides of it cover every source shard's
@@ -1533,15 +1565,6 @@ def fused_ccd_core(
             "by the static bisection-depth predictor, grouping "
             "similar-depth lanes into the same solver block)"
         )
-    if narrow_order == "key" and axis_name is not None:
-        from scalable_ccd_tpu.utils.logging import logger
-
-        logger().warning(
-            "narrow_order='key' is single-chip only (the sharded loop "
-            "pools striped buffers whose order is collective); falling "
-            "back to sweep order (exact either way)"
-        )
-        narrow_order = "sweep"
     if escalate_pool == "frame":
         # the frame pool only implements the global single-chip Pallas
         # fast path; any other combination falls back to the per-batch

@@ -318,6 +318,44 @@ class TestNarrowOrder:
         assert int(b.vf_total) == int(a.vf_total)
         assert int(b.ee_total) == int(a.ee_total)
 
+    def test_key_eight_shards_matches_single_chip(self, scene):
+        """Per-shard depth ordering of the balanced stripes (local sort,
+        collectively uniform bound) must reproduce the single-chip TOI
+        and totals exactly, in both global and collect modes."""
+        mesh = default_mesh()
+        assert mesh.size == 8
+        single = fused_ccd(*_args(scene), vf_budget=1 << 15,
+                           ee_budget=1 << 15, dtype=jnp.float64)
+        fn = make_sharded_ccd(
+            mesh, vf_budget_per_shard=1 << 12, ee_budget_per_shard=1 << 12,
+            dtype=jnp.float64, narrow_order="key",
+        )
+        res = fn(*_args(scene), jnp.float64(0.0), jnp.float64(1e-6))
+        assert not bool(res.overflowed)
+        assert float(res.toi) == float(single.toi)
+        assert int(res.vf_total) == int(single.vf_total)
+        assert int(res.ee_total) == int(single.ee_total)
+
+        from scalable_ccd_tpu.parallel.sharded import sharded_ccd
+
+        single_hits = []
+        fused_ccd(*_args(scene), vf_budget=1 << 15, ee_budget=1 << 15,
+                  dtype=jnp.float64, collisions=single_hits)
+        sh_hits = []
+        resc = sharded_ccd(
+            scene.vertices_t0, scene.vertices_t1, scene.edges, scene.faces,
+            mesh=mesh, vf_budget_per_shard=1 << 12,
+            ee_budget_per_shard=1 << 12, dtype=jnp.float64,
+            narrow_order="key", collisions=sh_hits,
+        )
+        assert not bool(resc.overflowed)
+        fm = {(a, b): t for a, b, t in single_hits}
+        sm = {(a, b): t for a, b, t in sh_hits}
+        assert set(fm) == set(sm) and len(fm) > 0
+        for key in fm:
+            # per-query mode: each pair's TOI is order-independent
+            assert fm[key] == sm[key]
+
     def test_key_tiny_budget_edgecases(self):
         """Budgets == batch (no warm-start, single batch) and a no-contact
         scene (n_pairs may be 0: the key loop must be a no-op)."""
