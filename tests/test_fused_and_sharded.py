@@ -356,6 +356,26 @@ class TestNarrowOrder:
             # per-query mode: each pair's TOI is order-independent
             assert fm[key] == sm[key]
 
+    def test_key_auto_threshold(self, monkeypatch):
+        """``narrow_order="auto"`` (the default) resolves by the same
+        congestion box-count threshold as bucket_minor: with the
+        threshold forced to 1 every scene qualifies (auto -> "key" on the
+        kernel sweeps), and the result must match forced sweep order
+        exactly — this exercises the exact auto plumbing the congested
+        hardware path uses."""
+        import scalable_ccd_tpu.pipeline.fused as fused_mod
+
+        monkeypatch.setattr(fused_mod, "_AUTO_BUCKET_MIN_BOXES", 1)
+        s = cloth_on_sphere(grid_n=8, sphere_subdiv=0, drop=0.6)
+        args = _args(s, jnp.float32)
+        kw = dict(vf_budget=1 << 12, ee_budget=1 << 12, dtype=jnp.float32,
+                  sweep_impl="pallas_mxu16", solver="pallas")
+        auto = fused_ccd(*args, **kw)  # narrow_order auto -> "key"
+        off = fused_ccd(*args, narrow_order="sweep", **kw)
+        assert float(auto.toi) == float(off.toi)
+        assert int(auto.vf_total) == int(off.vf_total)
+        assert int(auto.ee_total) == int(off.ee_total)
+
     def test_key_tiny_budget_edgecases(self):
         """Budgets == batch (no warm-start, single batch) and a no-contact
         scene (n_pairs may be 0: the key loop must be a no-op)."""
