@@ -31,6 +31,15 @@ POLICIES = [
     ("key order, esc off", dict(narrow_order="key", escalate_rounds=-1)),
     ("sweep order, esc off", dict(narrow_order="sweep",
                                   escalate_rounds=-1)),
+    # dispatch-glue lever: the residual probe saw EE 2960 -> 2206 ms
+    # going 16k -> 64k batches (~1.4 ms/dispatch fixed cost), while the
+    # full pipeline regressed at 64k WITHOUT ordering (hw_narrow_batch)
+    # — re-test with depth-grouped blocks where escalation stages stay
+    # small
+    ("key order, nb=64k", dict(narrow_order="key", narrow_batch=1 << 16)),
+    ("key order, nb=64k, esc off", dict(narrow_order="key",
+                                        narrow_batch=1 << 16,
+                                        escalate_rounds=-1)),
 ]
 
 
