@@ -919,18 +919,24 @@ def _phase(
             )
         return out
 
-    if narrow_order == "key" and axis_name is None:
-        # ---- depth-key candidate ordering --------------------------------
-        # Batches arrive in sweep order, so one deep lane serializes its
-        # whole 2048-lane solver block: at grid-1000 the summed worst-lane
-        # depths are 3.4-3.7x what a depth-grouped order would pay
-        # (hw_depth_hist.log).  ONE multi-operand sort of the decoded pair
-        # stream by the static depth key groups similar-depth lanes into
-        # the same block.  The TOI is a min over pairs: any order is exact
-        # (pruning uses valid upper bounds only), and the warm-start
-        # pre-batch keeps the running TOI near-final from batch one
-        # regardless of ordering.  Costs one budget-sized decode + key
-        # gather + sort up front (~10 ns/row gathers).
+    if narrow_order in ("key", "stream") and axis_name is None:
+        # ---- pre-decoded candidate stream (+ optional depth ordering) ----
+        # "stream": materialize the decoded pair stream ONCE and feed the
+        # narrow loop plain dynamic slices — the records layouts otherwise
+        # decode per batch (searchsorted over the record prefix + window
+        # gathers), which hw_depth_order measured as the dominant narrow
+        # cost at congested scale (VF grid-1000: 198 ms glue floor vs
+        # ~790 ms pipeline narrow; the solver rounds themselves are
+        # ~14 ms).  One budget-sized decode (~10 ns/row) buys a lean loop
+        # — the single-chip twin of the sharded path's one-shot decode.
+        #
+        # "key": additionally sort the stream by the static depth key
+        # ``sum_d ceil(log2(1/tol_d))`` so similar-depth lanes share a
+        # solver block and one deep lane no longer serializes 2048
+        # shallow ones (hw_depth_hist: 3.4-3.7x summed worst-lane depth
+        # at grid-1000).  Exact in every mode: the TOI is a min over
+        # pairs, pruning uses valid upper bounds only, and the warm-start
+        # pre-batch keeps the running TOI near-final from batch one.
         P = pair_budget
         if pairs is None:
             # records layout: no dense row buffer exists — materialize the
@@ -943,7 +949,12 @@ def _phase(
         else:
             pairs_d = pairs[:P]
 
-        pairs = _key_sort(pairs_d, n_pairs, n_pairs, batch)
+        if narrow_order == "key":
+            pairs = _key_sort(pairs_d, n_pairs, n_pairs, batch)
+        else:
+            pairs = jnp.concatenate(
+                [pairs_d, jnp.full((batch, 2), jnp.int32(-(2**31) + 1))]
+            )
 
         def fetch(start, r_lo):
             return (
@@ -1558,12 +1569,14 @@ def fused_ccd_core(
             f"unknown escalate_pool {escalate_pool!r}: 'batch' (per-batch "
             "ladder) or 'frame' (frame-level straggler pool)"
         )
-    if narrow_order not in ("sweep", "key"):
+    if narrow_order not in ("sweep", "key", "stream"):
         raise ValueError(
             f"unknown narrow_order {narrow_order!r}: 'sweep' (candidates "
-            "solved in sweep-emission order) or 'key' (one up-front sort "
-            "by the static bisection-depth predictor, grouping "
-            "similar-depth lanes into the same solver block)"
+            "solved in sweep-emission order, records decoded per batch), "
+            "'stream' (one up-front budget-sized decode, sweep order), or "
+            "'key' (up-front decode + sort by the static bisection-depth "
+            "predictor, grouping similar-depth lanes into the same solver "
+            "block)"
         )
     if escalate_pool == "frame":
         # the frame pool only implements the global single-chip Pallas

@@ -304,6 +304,18 @@ class TestNarrowOrder:
         for k in am:
             assert bm[k] == pytest.approx(am[k], rel=1e-12, abs=1e-300)
 
+    def test_stream_matches_sweep(self, scene):
+        """``narrow_order='stream'`` (one up-front decode, sweep order)
+        must be bitwise-identical to the per-batch-decode default — the
+        pair stream is the same, only the decode granularity changes."""
+        args = _args(scene, jnp.float32)
+        kw = dict(vf_budget=1 << 15, ee_budget=1 << 15, solver="bfs")
+        a = fused_ccd(*args, narrow_order="sweep", **kw)
+        b = fused_ccd(*args, narrow_order="stream", **kw)
+        assert float(b.toi) == float(a.toi)
+        assert int(b.vf_total) == int(a.vf_total)
+        assert int(b.ee_total) == int(a.ee_total)
+
     def test_key_records_path(self):
         """The records sweep has no dense pair buffer; narrow_order='key'
         must decode the full stream once and still match."""

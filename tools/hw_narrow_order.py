@@ -27,6 +27,8 @@ from scalable_ccd_tpu.pipeline.fused import fused_ccd
 
 POLICIES = [
     ("sweep order (default)", dict(narrow_order="sweep")),
+    ("stream (pre-decode)", dict(narrow_order="stream")),
+    ("stream, esc off", dict(narrow_order="stream", escalate_rounds=-1)),
     ("key order", dict(narrow_order="key")),
     ("key order, esc off", dict(narrow_order="key", escalate_rounds=-1)),
     ("sweep order, esc off", dict(narrow_order="sweep",
