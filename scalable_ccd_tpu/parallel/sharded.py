@@ -120,11 +120,12 @@ def make_sharded_ccd(
     so every shard sweeps the same order; the a-side range shard is
     ordering-agnostic).
 
-    ``narrow_order="auto"`` mirrors :func:`fused_ccd`: above the
-    congestion threshold each shard sorts its balanced candidate stripe
-    once by the static bisection-depth key (local sort, collectively
-    uniform loop bound), so one deep lane no longer serializes a whole
-    solver block.  Exact in every mode.
+    ``narrow_order`` defaults to sweep order: the sharded kernel paths
+    already one-shot-decode their records before pooling, and the depth
+    ordering's measured oracle bound is ~110 ms/frame at 2M triangles
+    (``hw_depth_order.log``).  ``"key"`` (per-shard depth sort of the
+    balanced stripe — local sort, collectively uniform loop bound) stays
+    available and parity-tested; exact in every mode.
 
     ``partition`` selects the pod-scale memory mode: ``"replicated"``
     (every shard holds the whole sorted box array — the reference's dead
@@ -178,18 +179,13 @@ def make_sharded_ccd(
         ps = ps_vf if ps_vf == ps_ee else (ps_vf, ps_ee)
         no = narrow_order
         if no == "auto":
-            # depth-key ordering of each shard's balanced stripe above the
-            # same congestion threshold as single-chip fused_ccd (the
-            # depth skew it removes is a congested-scene phenomenon)
-            no = (
-                "key"
-                if (
-                    n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
-                    and sweep_impl != "xla"
-                    and not ipc_refine
-                )
-                else "sweep"
-            )
+            # the sharded kernel paths already one-shot-decode their
+            # records before pooling (the mechanism behind single-chip
+            # "stream"), and depth ordering's oracle bound is ~110 ms at
+            # grid-1000 with a poorly-tracking static key
+            # (hw_depth_order) — so auto is plain sweep order here;
+            # "key" stays available and parity-tested
+            no = "sweep"
         return fused_ccd_core(
             v0,
             v1,

@@ -1833,12 +1833,15 @@ def fused_ccd(
     :func:`_resolve_auto_presample`).  Exact either way.
 
     ``narrow_order`` defaults to ``"auto"``: above the congestion
-    threshold on the kernel sweeps, the decoded candidate stream is
-    sorted once by a static bisection-depth predictor before the narrow
-    loop (``"key"``), so similar-depth lanes share a solver block and one
-    deep lane no longer serializes 2048 shallow ones (hw_depth_hist:
-    3.4-3.7x summed worst-lane depth at grid-1000).  Exact in every mode
-    (the TOI is a min over pairs; per-pair hits are order-free sets).
+    threshold on the kernel sweeps, the candidate stream is decoded ONCE
+    up front and the narrow loop runs on plain dynamic slices
+    (``"stream"``) — the records layouts otherwise decode per batch,
+    measured as the dominant congested narrow cost (hw_depth_order:
+    VF 790 -> 212 ms, EE 2960 -> 806 ms at grid-1000).  ``"key"``
+    additionally depth-sorts the stream (opt-in; the ordering oracle
+    bound is ~110 ms/frame and the static key tracks depth poorly).
+    Exact in every mode (the TOI is a min over pairs; per-pair hits are
+    order-free sets).
 
     ``precision="compensated"`` evaluates the narrow-phase inclusion
     function in double-word f32 (~48-bit mantissa,
@@ -1922,19 +1925,21 @@ def fused_ccd(
         )
         kwargs["escalate_pool"] = "frame" if frame_ok else "batch"
     if kwargs.get("narrow_order", "auto") in ("auto", None):
-        # depth-key candidate ordering (_phase docstring block): groups
-        # similar-depth lanes into the same solver block so one deep lane
-        # no longer serializes 2048 shallow ones.  Auto keys on the same
-        # congestion threshold as bucket_minor: the depth skew it removes
-        # is a congested-scene phenomenon (hw_depth_hist: 3.4-3.7x summed
-        # worst-lane depth at grid-1000), while below the threshold the
-        # up-front decode+sort is pure overhead on a near-uniform stream.
+        # one-shot decoded candidate stream (_phase docstring block): the
+        # records layouts otherwise decode per narrow batch, which
+        # hw_depth_order measured as the DOMINANT congested narrow cost
+        # (VF 790 -> 212 ms, EE 2960 -> 806 ms at grid-1000 with a
+        # pre-decoded stream; solver rounds are ~14/142 ms).  Auto keys
+        # on the same congestion threshold as bucket_minor — below it the
+        # budget-sized decode is overhead the lazy path avoids.  "key"
+        # (stream + depth sort) stays opt-in: the oracle bound on ANY
+        # ordering is ~110 ms/frame and the static key tracks depth
+        # poorly (hw_depth_order key rows), so the sort does not pay.
         kwargs["narrow_order"] = (
-            "key"
+            "stream"
             if (
                 n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
                 and kwargs["sweep_impl"] != "xla"
-                and not kwargs.get("ipc_refine", False)
             )
             else "sweep"
         )
