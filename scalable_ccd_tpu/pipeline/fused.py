@@ -1925,24 +1925,17 @@ def fused_ccd(
         )
         kwargs["escalate_pool"] = "frame" if frame_ok else "batch"
     if kwargs.get("narrow_order", "auto") in ("auto", None):
-        # one-shot decoded candidate stream (_phase docstring block): the
-        # records layouts otherwise decode per narrow batch, which
-        # hw_depth_order measured as the DOMINANT congested narrow cost
-        # (VF 790 -> 212 ms, EE 2960 -> 806 ms at grid-1000 with a
-        # pre-decoded stream; solver rounds are ~14/142 ms).  Auto keys
-        # on the same congestion threshold as bucket_minor — below it the
-        # budget-sized decode is overhead the lazy path avoids.  "key"
-        # (stream + depth sort) stays opt-in: the oracle bound on ANY
-        # ordering is ~110 ms/frame and the static key tracks depth
-        # poorly (hw_depth_order key rows), so the sort does not pay.
-        kwargs["narrow_order"] = (
-            "stream"
-            if (
-                n_vf_boxes >= _AUTO_BUCKET_MIN_BOXES
-                and kwargs["sweep_impl"] != "xla"
-            )
-            else "sweep"
-        )
+        # Measured dead end, kept opt-in (hw_narrow_order.log): "stream"
+        # pre-decodes the whole budget in ONE decode_records_range call,
+        # whose (P, 128) record-row gather intermediate hits a slow path
+        # at P=2^24 — 10,987 ms/frame vs sweep's 6,321 at grid-1000
+        # despite the lean loop itself being 3.7x faster on a pre-decoded
+        # stream (hw_depth_order).  "key" additionally sorts by a
+        # predictor that tracks depth poorly (ordering oracle bound
+        # ~110 ms/frame).  Auto therefore stays sweep-order everywhere;
+        # the decode-glue lever needs a chunked pre-decode, not a budget
+        # -sized one.
+        kwargs["narrow_order"] = "sweep"
     if kwargs.get("presample", "auto") in ("auto", None):
         # warm-start pre-batch below the congestion threshold only
         # (_resolve_auto_presample docstring: measured win at bench
