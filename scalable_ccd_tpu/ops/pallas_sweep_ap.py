@@ -1559,14 +1559,21 @@ def _decode_record_bits(packed, records, r_c, k, is_two_lists: bool):
     bf, bi, wf, wi = packed
     # record r_c lives at [r_c >> 4, (r_c & 15) * 8 : +8] of the tiled
     # buffer: one (batch, 128) row gather (~10 ns/row regardless of
-    # width, PERF.md) + an 8-lane take_along_axis
+    # width, PERF.md).  The 8-word extraction is a STATIC 16-way select
+    # chain, NOT take_along_axis: per-row dynamic LANE indexing is a
+    # cross-lane permute that XLA:TPU lowers catastrophically (measured
+    # ~190 ns/pair decode — ~5x the row-gather law — with the
+    # take_along_axis form; the whole-budget variant hit a slow path
+    # worth +4.6 s/frame, hw_narrow_order round 5).  16 masked adds on
+    # (batch, 8) lanes are pure VPU elementwise work.
     rec_rows_g = records[r_c >> 4]  # (batch, 128)
-    word_base = (r_c & (_REC_PER_ROW - 1)) * _REC_WORDS
-    rec = jnp.take_along_axis(
-        rec_rows_g,
-        word_base[:, None] + jnp.arange(_REC_WORDS, dtype=jnp.int32),
-        axis=1,
-    )  # (batch, 8)
+    word_pos = r_c & (_REC_PER_ROW - 1)
+    rec = jnp.zeros((r_c.shape[0], _REC_WORDS), records.dtype)
+    for c in range(_REC_PER_ROW):
+        sel = (word_pos == c)[:, None]
+        rec = rec + jnp.where(
+            sel, rec_rows_g[:, c * _REC_WORDS:(c + 1) * _REC_WORDS], 0
+        )
 
     w = rec[:, 0:4]
     c0 = jax.lax.population_count(w[:, 0])
@@ -1577,7 +1584,10 @@ def _decode_record_bits(packed, records, r_c, k, is_two_lists: bool):
         + (k >= c01).astype(jnp.int32)
         + (k >= c012).astype(jnp.int32)
     )
-    word = jnp.take_along_axis(w, g[:, None], axis=1)[:, 0]
+    word = jnp.where(
+        g == 0, w[:, 0],
+        jnp.where(g == 1, w[:, 1], jnp.where(g == 2, w[:, 2], w[:, 3])),
+    )
     kk = k - jnp.where(
         g == 0, 0, jnp.where(g == 1, c0, jnp.where(g == 2, c01, c012))
     )
