@@ -200,8 +200,13 @@ def find_roots_bfs(
         cond3 = (true_tol <= co_tol) & pos_ok
 
         split = jnp.argmax(widths / d_tol, axis=1)
-        s_lo = jnp.take_along_axis(q_lo, split[:, None], axis=1)[:, 0]
-        s_hi = jnp.take_along_axis(q_hi, split[:, None], axis=1)[:, 0]
+        # static 3-way select, not take_along_axis: per-row dynamic lane
+        # indexing is a cross-lane permute XLA:TPU lowers badly
+        # (~5x the row-gather law, PERF.md round-5 decode finding)
+        s_lo = jnp.where(split == 0, q_lo[:, 0],
+                         jnp.where(split == 1, q_lo[:, 1], q_lo[:, 2]))
+        s_hi = jnp.where(split == 0, q_hi[:, 0],
+                         jnp.where(split == 1, q_hi[:, 1], q_hi[:, 2]))
         mid = (s_lo + s_hi) / 2
         degenerate = (s_lo >= mid) | (mid >= s_hi)
 

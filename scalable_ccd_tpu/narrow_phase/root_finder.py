@@ -238,8 +238,13 @@ def find_roots(
         # split dimension: argmax of widths / tol, first index on ties
         # (`split_dimension`, root_finder.cu:200-211)
         split = jnp.argmax(widths / tol, axis=1)  # (Q,)
-        s_lo = jnp.take_along_axis(lo, split[:, None], axis=1)[:, 0]
-        s_hi = jnp.take_along_axis(hi, split[:, None], axis=1)[:, 0]
+        # static 3-way select, not take_along_axis: per-row dynamic lane
+        # indexing is a cross-lane permute XLA:TPU lowers badly
+        # (~5x the row-gather law, PERF.md round-5 decode finding)
+        s_lo = jnp.where(split == 0, lo[:, 0],
+                         jnp.where(split == 1, lo[:, 1], lo[:, 2]))
+        s_hi = jnp.where(split == 0, hi[:, 0],
+                         jnp.where(split == 1, hi[:, 1], hi[:, 2]))
         mid = (s_lo + s_hi) / 2
         degenerate = (s_lo >= mid) | (mid >= s_hi)  # bisection underflow
 
