@@ -136,12 +136,23 @@ def main():
     chunk = decode(pairs)
     valid = jnp.arange(Q) < npp
     q = gather_vf_queries(v0, v1, F, chunk, dtype=jnp.float32)
-    tic(
-        f"solver kernel vf ({npp} queries)",
-        lambda: pallas_find_roots(
-            q, valid, True, jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1e-6)
-        )[0],
-    )
+    # one pallas_find_roots call per <= 2^21 queries: a single call's
+    # per-block SMEM output window scales with the grid, and ~4096
+    # blocks (8.4M queries) exceeds the 1 MB SMEM (the pipelines batch
+    # at narrow_batch anyway; this standalone stage must chunk too)
+    SB = 1 << 21
+
+    def solve_chunks():
+        toi = jnp.float32(1.0)
+        for s in range(0, Q, SB):
+            qs = jax.tree_util.tree_map(lambda a: a[s:s + SB], q)
+            toi = pallas_find_roots(
+                qs, valid[s:s + SB], True, toi, jnp.float32(0.0),
+                jnp.float32(1e-6),
+            )[0]
+        return toi
+
+    tic(f"solver kernel vf ({npp} queries)", solve_chunks)
 
     kw = dict(
         vf_budget=budget, ee_budget=budget, validate=False,
