@@ -140,7 +140,8 @@ def main():
     # per-block SMEM output window scales with the grid, and ~4096
     # blocks (8.4M queries) exceeds the 1 MB SMEM (the pipelines batch
     # at narrow_batch anyway; this standalone stage must chunk too)
-    SB = 1 << 21
+    SB = 1 << 20  # 512 blocks: the per-block SMEM output windows pad to
+    # (blocks, 128) lanes, and 2048 blocks alone fill the 1 MB SMEM
 
     def solve_chunks():
         toi = jnp.float32(1.0)
