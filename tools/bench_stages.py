@@ -140,7 +140,7 @@ def main():
     # per-block SMEM output window scales with the grid, and ~4096
     # blocks (8.4M queries) exceeds the 1 MB SMEM (the pipelines batch
     # at narrow_batch anyway; this standalone stage must chunk too)
-    SB = 1 << 20  # 512 blocks: the per-block SMEM output windows pad to
+    SB = 1 << 20  # with block_sub=16: 512 blocks: the per-block SMEM output windows pad to
     # (blocks, 128) lanes, and 2048 blocks alone fill the 1 MB SMEM
 
     def solve_chunks():
@@ -149,7 +149,7 @@ def main():
             qs = jax.tree_util.tree_map(lambda a: a[s:s + SB], q)
             toi = pallas_find_roots(
                 qs, valid[s:s + SB], True, toi, jnp.float32(0.0),
-                jnp.float32(1e-6),
+                jnp.float32(1e-6), block_sub=16,
             )[0]
         return toi
 
